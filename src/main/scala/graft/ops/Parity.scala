@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Numeric discipline for DuckDB-oracle hash parity.
+  *
+  * Double-precision SUM/AVG results depend on accumulation order, which
+  * differs between Spark's partial aggregation and DuckDB (and between Spark
+  * runs, with AQE). Any aggregate of a non-integral double column that lands
+  * in a compared result therefore goes through exact decimal arithmetic:
+  * cast the input to DECIMAL(18,6), aggregate (exact in both engines), cast
+  * the result to a fixed output type. Counts stay BIGINT; doubles that are
+  * exactly representable (integral quantities) may stay double.
+  */
+object Parity {
+  /** Exact money/measure arithmetic: decimal input for aggregation. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Canonical output type for decimal aggregates — both engines can cast
+    * their (differently-widened) sum types to this losslessly. */
+  def outDec(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Exact sum of a money-like double column. */
+  def decSum(c: Column): Column = outDec(sum(dec(c)))
+
+  /** Exact average of a money-like double column. */
+  def decAvg(c: Column): Column = outDec(avg(dec(c)))
+
+  /** SQL fragments for the DuckDB side of the same discipline. */
+  def sqlDecSum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  def sqlDecAvg(expr: String): String =
+    s"CAST(AVG(CAST($expr AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  def sqlOutDec(expr: String): String =
+    s"CAST($expr AS DECIMAL(38,6))"
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** J5/J6 — the reference's flagship recursive multi-hop fund trace
+  * (app.py:339-366: `WITH RECURSIVE trace_path`, hop cap, per-hop window
+  * filter; app.py:380-383: OOM fallback to 1 hop).
+  *
+  * Spark has no recursive CTE operator in the DataFrame API, so the
+  * transitive closure is a driver-side bounded loop of equi-joins — the
+  * loop count (maxHops ≤ 3) is tiny and static, while every join inside it
+  * is fully distributed. The edge set is deduplicated once up front and
+  * broadcast when small; each frontier is the previous frontier joined to
+  * the edges (path multiplicity preserved, matching UNION ALL semantics).
+  * `localCheckpoint` would cut lineage for deep traversals; at hop ≤ 3 the
+  * lineage is shallow enough to skip it.
+  *
+  * At 100 TB the edge table does not fit in a broadcast: the same loop
+  * holds with the edges bucketed/partitioned by `src` so each hop is a
+  * co-partitioned shuffle join on the frontier only — the frontier is the
+  * small, shrinking side.
+  */
+object TraceOps extends QueryModule {
+
+  /** Synthetic homogeneous graph from the events table: node ids are
+    * residues mod 50 so the edge set is bounded (≤2500 distinct edges)
+    * regardless of scale factor — the traversal cost scales with the scan
+    * + distinct, not with path blowup. */
+  def edgeSet(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      (col("user_id") % 50).as("src"),
+      (col("event_id") % 50).as("dst")).distinct()
+
+  /** Bounded multi-hop trace: anchor = edges from `source`; step joins the
+    * frontier's dst to edges' src. UNION ALL accumulation → per-(hop,edge)
+    * path multiplicity, aggregated at the end. */
+  def trace(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    val e = edges.cache()
+    var frontier = e.filter(col("src") === source).withColumn("hop", lit(1))
+    var acc = frontier
+    for (h <- 2 to maxHops) {
+      frontier = frontier.select(col("dst").as("prev_dst"))
+        .join(broadcast(e), col("prev_dst") === col("src"))
+        .select(col("src"), col("dst")).withColumn("hop", lit(h))
+      acc = acc.unionByName(frontier)
+    }
+    acc.groupBy("hop", "src", "dst").agg(count(lit(1)).as("paths"))
+  }
+
+  /** J6 — degradation retry: on failure rerun with maxHops=1
+    * (app.py:380-383, Snowflake error 100298 equivalent). */
+  def traceWithFallback(edges: DataFrame, source: Long,
+      maxHops: Int): DataFrame =
+    try trace(edges, source, maxHops)
+    catch { case _: Exception => trace(edges, source, 1) }
+
+  def all: Seq[Q] = Seq(
+    Q("j5_trace_recursive",
+      (s, d) => trace(edgeSet(s, d), source = 7L, maxHops = 3),
+      Some("""WITH RECURSIVE edges AS (
+                SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
+                FROM events),
+              trace_path AS (
+                SELECT src, dst, 1 AS hop FROM edges WHERE src = 7
+                UNION ALL
+                SELECT e.src, e.dst, t.hop + 1
+                FROM trace_path t JOIN edges e ON t.dst = e.src
+                WHERE t.hop < 3)
+              SELECT hop, src, dst, COUNT(*) AS paths
+              FROM trace_path GROUP BY 1, 2, 3""")),
+
+    // J6: the fallback wrapper — same result as j5 when no failure occurs,
+    // same oracle.
+    Q("j6_trace_fallback",
+      (s, d) => traceWithFallback(edgeSet(s, d), source = 7L, maxHops = 3),
+      Some("""WITH RECURSIVE edges AS (
+                SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
+                FROM events),
+              trace_path AS (
+                SELECT src, dst, 1 AS hop FROM edges WHERE src = 7
+                UNION ALL
+                SELECT e.src, e.dst, t.hop + 1
+                FROM trace_path t JOIN edges e ON t.dst = e.src
+                WHERE t.hop < 3)
+              SELECT hop, src, dst, COUNT(*) AS paths
+              FROM trace_path GROUP BY 1, 2, 3"""))
+  )
+}
