@@ -1,0 +1,281 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data text pipeline operators over the `documents` table —
+  * north-star extensions beyond the reference's surface (SURVEY.md §7.1
+  * step 9): exact + approximate deduplication, fingerprinting, quality
+  * scoring, language ID, token counting.
+  *
+  * Design rules:
+  *  - Everything is per-row higher-order-function math or standard
+  *    shuffle-light aggregation — no UDFs, no driver-side loops.
+  *  - MinHash/SimHash use xxhash64 (seeded via a literal prefix column) —
+  *    deterministic across runs/partitionings, so rows-only checks are
+  *    stable; no DuckDB oracle since hash functions differ across engines.
+  *  - Exact ops (md5 fingerprints, token counts, jaccard on explicit
+  *    shingle sets) DO carry oracles.
+  *
+  * 100 TB notes: exact dedup is a single hash-aggregate on md5(text) —
+  * the canonical map-side-combinable shape. MinHash signature generation
+  * is one explode + one 16-min aggregate per doc (map-side partial);
+  * LSH banding turns the quadratic all-pairs into an equi-join on
+  * (band, band_hash) — the join key is uniform by construction (hash
+  * values), so no skew salting is needed. The n-gram inverted index
+  * prunes hub shingles (df cap) to bound candidate fan-out, the standard
+  * scalable all-pairs-similarity design.
+  */
+object TextOps extends QueryModule {
+
+  /** Tokens of the whitespace-separated text. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  private def toksCol = tokens(col("text"))
+
+  /** Word n-gram shingles as an array column (empty if too few tokens).
+    * slice() is 1-based; guard prevents sequence() descending on short
+    * docs. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** 16-hash MinHash signature columns for a (doc_id, shingle) relation. */
+  private val numHashes = 16
+  private val bandsOf2 = numHashes / 2
+
+  /** SimHash (64-bit) computed entirely per-row with higher-order
+    * functions — zero shuffle: for each bit, fold the token hashes'
+    * +1/-1 contributions, then assemble the sign bits into a long.
+    * SQL-expression form because the bit variable must be bound inside
+    * nested lambdas. */
+  private val simhashExpr =
+    """aggregate(
+         transform(sequence(0, 63), b ->
+           IF(aggregate(split(text, ' '), 0L,
+                (acc, t) -> acc + IF((xxhash64(t) >> b) & 1 = 1, 1L, -1L)) > 0,
+              shiftleft(1L, b), 0L)),
+         0L, (acc, v) -> acc + v)"""
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Exact dedup: hash-groupBy on content (md5 matches across
+    //      engines). Canonical representative = min doc_id.
+    Q("dedup_exact",
+      (s, d) => documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("dup_count")),
+      Some("""SELECT md5(text) AS text_hash,
+              CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+              COUNT(*) AS dup_count
+              FROM documents GROUP BY 1""")),
+
+    // ---- Document fingerprint: md5 of whitespace-normalized, lowercased
+    //      content (stable under formatting noise).
+    Q("doc_fingerprint",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), " +", " ")
+          .cast("binary")).as("fingerprint")),
+      Some("""SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+              AS fingerprint FROM documents""")),
+
+    // ---- Token counting (whitespace tokenization; split keeps empties in
+    //      both engines, so counts agree).
+    Q("text_tokens",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        size(toksCol).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        col("n_chars")),
+      Some("""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              CAST(length(text) AS INT) AS n_chars_measured, n_chars
+              FROM documents""")),
+
+    // ---- Quality scoring: stopword ratio + vocabulary diversity.
+    //      Per-row double math with identical expression shape on both
+    //      sides → deterministic.
+    Q("text_quality",
+      (s, d) => {
+        val t = toksCol
+        val nTok = size(t)
+        val stopCnt = size(filter(t, w =>
+          w.isin("the", "a", "of", "and")))
+        val distinctCnt = size(array_distinct(t))
+        documents(s, d).select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          round(stopCnt / nTok, 6).as("stop_ratio"),
+          round(distinctCnt / nTok, 6).as("distinct_ratio"),
+          round(stopCnt / nTok * 0.3 + distinctCnt / nTok * 0.7, 6)
+            .as("quality_score"))
+      },
+      Some("""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              ROUND(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a', 'of', 'and')))
+                / len(string_split(text, ' ')), 6) AS stop_ratio,
+              ROUND(len(list_distinct(string_split(text, ' ')))
+                / len(string_split(text, ' ')), 6) AS distinct_ratio,
+              ROUND(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a', 'of', 'and')))
+                / len(string_split(text, ' ')) * 0.3
+                + len(list_distinct(string_split(text, ' ')))
+                / len(string_split(text, ' ')) * 0.7, 6) AS quality_score
+              FROM documents""")),
+
+    // ---- Language ID: marker-stopword scoring with a fixed priority
+    //      order for ties (en > de > fr > es > zh).
+    Q("lang_id",
+      (s, d) => {
+        val t = toksCol
+        def score(words: String*): Column =
+          size(filter(t, w => w.isin(words.map(lit): _*)))
+        val sEn = score("the", "a", "of")
+        val sDe = score("der", "die", "und")
+        val sFr = score("le", "et", "ou")
+        val sEs = score("el", "los", "y")
+        val pred = when(sEn >= sDe && sEn >= sFr && sEn >= sEs, "en")
+          .when(sDe >= sFr && sDe >= sEs, "de")
+          .when(sFr >= sEs, "fr")
+          .otherwise("es")
+        documents(s, d).select(col("doc_id"), col("lang"),
+          pred.as("pred_lang"),
+          (pred === col("lang")).as("is_correct"))
+      },
+      Some("""WITH scores AS (
+                SELECT doc_id, lang,
+                  len(list_filter(string_split(text,' '),
+                      w -> w IN ('the','a','of'))) AS s_en,
+                  len(list_filter(string_split(text,' '),
+                      w -> w IN ('der','die','und'))) AS s_de,
+                  len(list_filter(string_split(text,' '),
+                      w -> w IN ('le','et','ou'))) AS s_fr,
+                  len(list_filter(string_split(text,' '),
+                      w -> w IN ('el','los','y'))) AS s_es
+                FROM documents)
+              SELECT doc_id, lang,
+                CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                     THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es' END AS pred_lang,
+                (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                      THEN 'en'
+                      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                      WHEN s_fr >= s_es THEN 'fr'
+                      ELSE 'es' END) = lang AS is_correct
+              FROM scores""")),
+
+    // ---- Exact n-gram (word bigram) Jaccard over candidate pairs from an
+    //      inverted shingle index. Hub shingles (df > 50) pruned to bound
+    //      the candidate join — the standard all-pairs-similarity design.
+    Q("ngram_jaccard_pairs",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"),
+          array_distinct(shingles(toksCol, 2)).as("grams"))
+        val index = docs.select(col("doc_id"),
+          explode(col("grams")).as("gram"))
+        val rare = index.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50 && col("df") >= 2)
+        val pruned = index.join(broadcast(rare), Seq("gram"))
+        val a = pruned.select(col("gram"), col("doc_id").as("doc_a"))
+        val b = pruned.select(col("gram"), col("doc_id").as("doc_b"))
+        val cands = a.join(b, Seq("gram"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val ga = docs.select(col("doc_id").as("doc_a"),
+          col("grams").as("grams_a"))
+        val gb = docs.select(col("doc_id").as("doc_b"),
+          col("grams").as("grams_b"))
+        cands.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(size(array_intersect(col("grams_a"), col("grams_b")))
+              / size(array_union(col("grams_a"), col("grams_b"))), 6)
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.2)
+      },
+      Some("""WITH grams AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(string_split(text,' '))),
+                  i -> string_split(text,' ')[i] || ' ' ||
+                       string_split(text,' ')[i+1])) AS g
+                FROM documents),
+              idx AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+              rare AS (SELECT gram FROM idx GROUP BY 1
+                       HAVING COUNT(*) <= 50 AND COUNT(*) >= 2),
+              pruned AS (SELECT i.gram, i.doc_id FROM idx i
+                         JOIN rare r ON i.gram = r.gram),
+              cands AS (SELECT DISTINCT a.doc_id AS doc_a,
+                               b.doc_id AS doc_b
+                        FROM pruned a JOIN pruned b ON a.gram = b.gram
+                        WHERE a.doc_id < b.doc_id)
+              SELECT c.doc_a, c.doc_b,
+                ROUND(len(list_intersect(ga.g, gb.g)) /
+                  (len(ga.g) + len(gb.g)
+                   - len(list_intersect(ga.g, gb.g))), 6) AS jaccard
+              FROM cands c
+              JOIN grams ga ON c.doc_a = ga.doc_id
+              JOIN grams gb ON c.doc_b = gb.doc_id
+              WHERE len(list_intersect(ga.g, gb.g)) /
+                (len(ga.g) + len(gb.g)
+                 - len(list_intersect(ga.g, gb.g))) >= 0.2""")),
+
+    // ---- MinHash + LSH near-dup candidates: shingle → 16-way minhash →
+    //      8 bands of 2 → bucket join → signature-agreement estimate.
+    //      xxhash64 is engine-specific → rows-only check.
+    Q("minhash_lsh_pairs",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"),
+          array_distinct(shingles(toksCol, 3)).as("sh"))
+        val exploded = docs.select(col("doc_id"),
+          explode(col("sh")).as("shingle"))
+        val sigCols = (0 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+        val sigs = exploded.groupBy("doc_id")
+          .agg(sigCols.head, sigCols.tail: _*)
+          .withColumn("sig", array((0 until numHashes).map(i =>
+            col(s"h$i")): _*))
+          .select("doc_id", "sig")
+        val banded = sigs.select(col("doc_id"), col("sig"),
+          posexplode(array((0 until bandsOf2).map(b =>
+            xxhash64(lit(100 + b),
+              element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2))): _*))
+            .as(Seq("band", "band_hash")))
+        val l = banded.select(col("band"), col("band_hash"),
+          col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+        val r = banded.select(col("band"), col("band_hash"),
+          col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        l.join(r, Seq("band", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (size(filter(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => x === y), b => b))
+              / lit(numHashes.toDouble)).as("est_jaccard"))
+          .distinct()
+          .filter(col("est_jaccard") >= 0.5)
+      },
+      None),
+
+    // ---- SimHash fingerprint: 64-bit, computed per-row (no shuffle).
+    Q("simhash_fingerprint",
+      (s, d) => documents(s, d).select(col("doc_id"),
+        expr(simhashExpr).as("simhash")),
+      None),
+
+    // ---- F-extension: JSON field extraction (events.props).
+    Q("f9_json_extract",
+      (s, d) => events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+              COUNT(*) AS n FROM events GROUP BY 1"""))
+  )
+}

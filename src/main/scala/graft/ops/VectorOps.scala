@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Embedding similarity search + multimodal-column plumbing over the
+  * `embeddings` / `documents` tables (north-star extensions, SURVEY.md
+  * §7.1 step 9).
+  *
+  * Cosine math uses higher-order functions over array<double> — an exact,
+  * sequential left-fold in both Spark and DuckDB, so results round-match
+  * at 6 decimals. The formula is written identically on both sides
+  * (dot / (sqrt(dot_aa) * sqrt(dot_bb))) to keep the op sequence the same.
+  *
+  * 100 TB notes: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus once — embarrassingly parallel, no shuffle until
+  * the final per-query top-k (TakeOrdered-style window). The LSH variant
+  * replaces the full scan with an equi-join on (plane-sign bucket), the
+  * standard sub-linear path; buckets are hash-uniform so skew-free.
+  * All-pairs near-dup is quadratic by definition — at scale it must run
+  * through the LSH bucketing, kept here as the exact baseline.
+  */
+object VectorOps extends QueryModule {
+
+  /** Element-wise cast to double (embeddings are float32 on disk;
+    * both engines upcast before the fold). */
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity, same op sequence as the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val numPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane LSH bucket: for each plane,
+    * the sign of the projection onto weights derived from xxhash64 of
+    * (plane, dim). Engine-specific hash → rows-only checks. */
+  private val lshBucketExpr =
+    s"""aggregate(sequence(0, ${numPlanes - 1}), 0L, (acc, p) ->
+          acc + IF(
+            aggregate(sequence(0, 63), 0.0D, (s, i) ->
+              s + (CAST(pmod(xxhash64(p * 64 + i), 1000) AS DOUBLE) / 1000.0
+                   - 0.5) * CAST(element_at(embedding, i + 1) AS DOUBLE))
+            > 0.0D, shiftleft(1L, p), 0L))"""
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Brute-force cosine top-k: the exactness baseline for ANN.
+    Q("ann_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"),
+            asDouble(col("embedding")).as("qv"))
+        val cand = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val scored = cand.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("query_id", "vec_id", "cos_sim", "rn")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv
+                         FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+              s AS (SELECT query_id, vec_id,
+                      ROUND(list_dot_product(qv, v) /
+                        (sqrt(list_dot_product(qv, qv)) *
+                         sqrt(list_dot_product(v, v))), 6) AS cos_sim
+                    FROM c CROSS JOIN q WHERE vec_id <> query_id),
+              r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+              SELECT query_id, vec_id, cos_sim, rn FROM r
+              WHERE rn <= 10""")),
+
+    // ---- Embedding-cosine near-duplicate pairs (exact all-pairs
+    //      baseline; the LSH query below is the scale path).
+    Q("emb_neardup_pairs",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val a = e.select(col("vec_id").as("vec_a"),
+          asDouble(col("embedding")).as("va"))
+        val b = e.select(col("vec_id").as("vec_b"),
+          asDouble(col("embedding")).as("vb"))
+        a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.9)
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] e
+                         FROM embeddings)
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                ROUND(list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) *
+                   sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+              FROM v a CROSS JOIN v b
+              WHERE a.vec_id < b.vec_id
+                AND ROUND(list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) *
+                   sqrt(list_dot_product(b.e, b.e))), 6) >= 0.9""")),
+
+    // ---- LSH-bucketed ANN: candidates share a random-hyperplane sign
+    //      bucket with the query; cosine computed only within buckets.
+    //      Sub-linear scale path for ann_cosine_topk. Rows-only check
+    //      (xxhash64-derived planes).
+    Q("ann_lsh_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .withColumn("bucket", expr(lshBucketExpr))
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("bucket"),
+            asDouble(col("embedding")).as("qv"))
+        val cand = e.select(col("vec_id"), col("bucket"),
+          asDouble(col("embedding")).as("v"))
+        val scored = cand.join(broadcast(qs), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("query_id", "vec_id", "cos_sim", "rn")
+      },
+      None),
+
+    // ---- Multimodal columns: opaque binary payload + typed metadata.
+    //      The payload here is the utf-8 text bytes (the container has no
+    //      image/audio libs — the decode step is stubbed deterministically
+    //      in graft.multimodal.MediaPipeline); byte-length and checksum
+    //      are real and oracle-checked.
+    Q("media_metadata",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).as("media_bytes"),
+          md5(col("payload")).as("checksum")),
+      Some("""SELECT doc_id,
+              CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_bytes,
+              md5(text) AS checksum FROM documents"""))
+  )
+}
