@@ -178,8 +178,10 @@ object TextOps extends QueryModule {
     //      the candidate join — the standard all-pairs-similarity design.
     Q("ngram_jaccard_pairs",
       (s, d) => {
+        // docs feeds the index and both sides of the final array join —
+        // cache it (at 100 TB: persist to a bucketed table instead).
         val docs = documents(s, d).select(col("doc_id"),
-          array_distinct(shingles(toksCol, 2)).as("grams"))
+          array_distinct(shingles(toksCol, 2)).as("grams")).cache()
         val index = docs.select(col("doc_id"),
           explode(col("grams")).as("gram"))
         val rare = index.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -242,7 +244,7 @@ object TextOps extends QueryModule {
           .agg(sigCols.head, sigCols.tail: _*)
           .withColumn("sig", array((0 until numHashes).map(i =>
             col(s"h$i")): _*))
-          .select("doc_id", "sig")
+          .select("doc_id", "sig").cache()
         val banded = sigs.select(col("doc_id"), col("sig"),
           posexplode(array((0 until bandsOf2).map(b =>
             xxhash64(lit(100 + b),

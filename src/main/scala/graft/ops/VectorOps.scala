@@ -28,13 +28,22 @@ object VectorOps extends QueryModule {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product — a native codegen'd expression with the
+    * same ascending-index fold as DuckDB's list_dot_product. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotProduct(a, b)
 
-  /** Cosine similarity, same op sequence as the DuckDB oracle. */
+  /** Cosine similarity, same op sequence as the DuckDB oracle:
+    * dot / (sqrt(dot_aa) * sqrt(dot_bb)). Prefer precomputing
+    * sqrt(dot(v,v)) once per vector (see the queries below) — N norms
+    * instead of N² — which keeps this exact op sequence per pair. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Pair cosine from precomputed norms (normA = sqrt(dot(a,a))). */
+  def cosineWithNorms(a: Column, b: Column, normA: Column,
+      normB: Column): Column =
+    dot(a, b) / (normA * normB)
 
   private val numPlanes = 8
 
@@ -55,14 +64,16 @@ object VectorOps extends QueryModule {
     Q("ann_cosine_topk",
       (s, d) => {
         val e = embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .withColumn("norm", sqrt(dot(col("v"), col("v"))))
         val qs = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"),
-            asDouble(col("embedding")).as("qv"))
-        val cand = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        val scored = cand.crossJoin(broadcast(qs))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm").as("qnorm"))
+        val scored = e.crossJoin(broadcast(qs))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+            round(cosineWithNorms(col("qv"), col("v"), col("qnorm"),
+              col("norm")), 6).as("cos_sim"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
         scored.withColumn("rn", row_number().over(w))
@@ -87,13 +98,16 @@ object VectorOps extends QueryModule {
     Q("emb_neardup_pairs",
       (s, d) => {
         val e = embeddings(s, d)
-        val a = e.select(col("vec_id").as("vec_a"),
-          asDouble(col("embedding")).as("va"))
-        val b = e.select(col("vec_id").as("vec_b"),
-          asDouble(col("embedding")).as("vb"))
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("norm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("norm").as("nb"))
         a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+            round(cosineWithNorms(col("va"), col("vb"), col("na"),
+              col("nb")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= 0.9)
       },
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] e
@@ -116,15 +130,17 @@ object VectorOps extends QueryModule {
       (s, d) => {
         val e = embeddings(s, d)
           .withColumn("bucket", expr(lshBucketExpr))
+          .select(col("vec_id"), col("bucket"),
+            asDouble(col("embedding")).as("v"))
+          .withColumn("norm", sqrt(dot(col("v"), col("v"))))
         val qs = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("bucket"),
-            asDouble(col("embedding")).as("qv"))
-        val cand = e.select(col("vec_id"), col("bucket"),
-          asDouble(col("embedding")).as("v"))
-        val scored = cand.join(broadcast(qs), Seq("bucket"))
+            col("v").as("qv"), col("norm").as("qnorm"))
+        val scored = e.join(broadcast(qs), Seq("bucket"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+            round(cosineWithNorms(col("qv"), col("v"), col("qnorm"),
+              col("norm")), 6).as("cos_sim"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
         scored.withColumn("rn", row_number().over(w))
