@@ -1,0 +1,124 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.input_file_name
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** S1–S5 — the file-ingest surface (reference:
+  * create_snowflake_objects.sh:331-333,406-411 file format;
+  * load_data_to_snowflake.sh:125-144 pattern routing + skip-file +
+  * retention; download_blockchair_data.py:218-246 local retention).
+  *
+  * Scale notes: the TSV reader is a plain distributed text scan — gzip
+  * files are non-splittable, so at 100 TB daily ingest parallelism comes
+  * from many daily files, not intra-file splits (matching the reference's
+  * one-file-per-table-per-day layout). Immediately landing into
+  * date-partitioned Parquet (see [[landToParquet]]) restores columnar
+  * pruning + splittability for everything downstream.
+  */
+object Tsv {
+
+  /** S1 — gzipped-TSV scan: tab-separated, one header row, no quoting
+    * (FIELD_DELIMITER='\t', FIELD_OPTIONALLY_ENCLOSED_BY='NONE',
+    * SKIP_HEADER=1). S3 — permissive mode: malformed rows land in
+    * `_corrupt_record` instead of failing the load
+    * (ON_ERROR='skip_file' analog at row granularity). */
+  def read(spark: SparkSession, path: String, schema: StructType,
+      permissive: Boolean = true): DataFrame = {
+    val withCorrupt = if (permissive)
+      schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    else schema
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("quote", "")          // no quote char — quotes are data
+      .option("mode", if (permissive) "PERMISSIVE" else "FAILFAST")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
+  /** S1 (inference path) — read every column as string for
+    * [[graft.schema.SchemaInfer]]. */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("quote", "")
+      .option("inferSchema", "false")
+      .csv(path)
+
+  /** S2 — pattern-routed load: `COPY INTO <t> ... PATTERN='.*blocks.*'`
+    * becomes a glob filter on the source directory; input_file_name() is
+    * retained for provenance. */
+  def readRouted(spark: SparkSession, dir: String, tableToken: String,
+      schema: StructType): DataFrame =
+    read(spark, dir, schema)
+      .where(input_file_name().rlike(s".*$tableToken.*"))
+
+  /** S3 (file granularity) — a malformed file is skipped, not fatal:
+    * per-file Try, unioning the readable ones. */
+  def readSkippingBadFiles(spark: SparkSession, files: Seq[String],
+      schema: StructType): (DataFrame, Seq[String]) = {
+    val attempts = files.map(f => f -> Try {
+      val df = read(spark, f, schema, permissive = false)
+      df.take(1) // force a parse probe
+      df
+    })
+    val good = attempts.collect { case (_, scala.util.Success(df)) => df }
+    val bad = attempts.collect { case (f, scala.util.Failure(_)) => f }
+    val union = good.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    (union, bad)
+  }
+
+  /** Land a raw daily file into date-partitioned Parquet — the layout every
+    * downstream model reads (cluster_by analog: partition pruning on
+    * `load_date` + sorted within partitions). */
+  def landToParquet(df: DataFrame, loadDate: String, outDir: String,
+      sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    sorted.withColumn("load_date", lit(loadDate))
+      .write.mode("append").partitionBy("load_date").parquet(outDir)
+  }
+
+  /** S5 — retention vacuum: delete files whose YYYYMMDD filename token is
+    * older than `retentionDays` relative to `today`
+    * (download_blockchair_data.py:218-246; filename pattern :235). */
+  private val FileDate = raw".*_(\d{8})\.tsv(\.gz)?$$".r
+
+  def retentionSweep(dir: Path, retentionDays: Int,
+      today: java.time.LocalDate): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val cutoff = today.minusDays(retentionDays.toLong)
+    val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+    Files.list(dir).iterator().asScala.toSeq.flatMap { p =>
+      p.getFileName.toString match {
+        case FileDate(d, _) =>
+          val fileDate = Try(java.time.LocalDate.parse(d, fmt)).toOption
+          if (fileDate.exists(_.isBefore(cutoff))) {
+            Files.delete(p); Some(p)
+          } else None
+        case _ => None
+      }
+    }
+  }
+
+  /** S4 — daily-file URL builder (download_blockchair_data.py:306-314).
+    * The HTTP fetch itself is driver-side I/O; zero-egress environments
+    * exercise the URL/date logic only. */
+  def dailyFileUrl(baseUrl: String, coin: String, tableType: String,
+      date: java.time.LocalDate): String = {
+    val d = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    s"$baseUrl/$coin/$tableType/blockchair_${coin}_${tableType}_$d.tsv.gz"
+  }
+}

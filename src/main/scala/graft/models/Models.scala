@@ -1,0 +1,253 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's three-layer dbt DAG re-expressed as pure
+  * `DataFrame => DataFrame` functions (transaction_tracing/models/ —
+  * staged views → intermediate tables → analytics marts). Function
+  * composition replaces dbt's per-model optimization barriers: Catalyst
+  * sees the whole lineage and optimizes globally.
+  *
+  * Unit contract (transaction_tracing/README.md:3, models/sources.yml:8-17):
+  * sats (Long) / BTC = sats/1e8 (Double) / USD (Double) / bytes / WU /
+  * seconds / days / coin-days.
+  */
+object Models {
+
+  /** P3 — macros/convert_to_btc.sql:1-3 (compile-time macro → plain
+    * Column function; no UDF). */
+  def convertToBtc(c: Column): Column = c / 100000000.0
+
+  /** P4 — macros/calculate_cdd.sql:1-3. */
+  def calculateCdd(lifespanSecs: Column, valueSats: Column): Column =
+    (lifespanSecs / 86400.0) * (valueSats / 100000000.0)
+
+  // ===== staging (views; P1 rename + P2 null-key filter + P3/P4) =====
+
+  /** stg_blocks (models/staged/stg_blocks.sql:9-52). */
+  def stgBlocks(blocksRaw: DataFrame): DataFrame =
+    blocksRaw.select(
+      col("id").as("block_id"),
+      col("hash").as("block_hash"),
+      col("time").as("block_time"),
+      col("median_time").as("median_block_time"),
+      col("size").as("size_bytes"),
+      col("stripped_size").as("stripped_size_bytes"),
+      col("weight").as("weight_wu"),
+      col("version"), col("version_hex"), col("version_bits"),
+      col("merkle_root"), col("nonce"), col("bits"), col("difficulty"),
+      col("chainwork"), col("coinbase_data_hex"),
+      col("transaction_count"), col("witness_count"),
+      col("input_count"), col("output_count"),
+      col("input_total").as("input_total_sats"),
+      convertToBtc(col("input_total")).as("input_total_btc"),
+      col("input_total_usd"),
+      col("output_total").as("output_total_sats"),
+      convertToBtc(col("output_total")).as("output_total_btc"),
+      col("output_total_usd"),
+      col("fee_total").as("fee_total_sats"),
+      convertToBtc(col("fee_total")).as("fee_total_btc"),
+      col("fee_total_usd"),
+      col("fee_per_kb").as("fee_per_kb_sats"),
+      col("fee_per_kb_usd"),
+      col("fee_per_kwu").as("fee_per_kwu_sats"),
+      col("fee_per_kwu_usd"),
+      col("cdd_total").as("cdd_total_days"),
+      col("generation").as("generation_sats"),
+      convertToBtc(col("generation")).as("generation_btc"),
+      col("generation_usd"),
+      col("reward").as("reward_sats"),
+      convertToBtc(col("reward")).as("reward_btc"),
+      col("reward_usd"),
+      col("guessed_miner"))
+      .filter(col("block_id").isNotNull)
+
+  /** stg_transactions (models/staged/stg_transactions.sql:9-36). */
+  def stgTransactions(txRaw: DataFrame): DataFrame =
+    txRaw.select(
+      col("block_id"),
+      col("hash").as("transaction_hash"),
+      col("time").as("tx_time"),
+      col("size").as("size_bytes"),
+      col("weight").as("weight_wu"),
+      col("version"), col("lock_time"), col("is_coinbase"),
+      col("has_witness"), col("input_count"), col("output_count"),
+      col("input_total").as("input_total_sats"),
+      convertToBtc(col("input_total")).as("input_total_btc"),
+      col("input_total_usd"),
+      col("output_total").as("output_total_sats"),
+      convertToBtc(col("output_total")).as("output_total_btc"),
+      col("output_total_usd"),
+      col("fee").as("fee_sats"),
+      convertToBtc(col("fee")).as("fee_btc"),
+      col("fee_usd"),
+      col("fee_per_kb").as("fee_per_kb_sats"),
+      col("fee_per_kb_usd"),
+      col("fee_per_kwu").as("fee_per_kwu_sats"),
+      col("fee_per_kwu_usd"),
+      col("cdd_total").as("cdd_total_days"))
+      .filter(col("transaction_hash").isNotNull)
+
+  /** stg_inputs (models/staged/stg_inputs.sql:9-35) — includes the
+    * calculated_cdd_days validation column next to the shipped cdd. */
+  def stgInputs(inputsRaw: DataFrame): DataFrame =
+    inputsRaw.select(
+      col("block_id"), col("transaction_hash"), col("index"), col("time"),
+      col("value").as("value_sats"),
+      convertToBtc(col("value")).as("value_btc"),
+      col("value_usd"),
+      col("recipient"), col("type"), col("script_hex"),
+      col("is_from_coinbase"), col("is_spendable"),
+      col("spending_block_id"), col("spending_transaction_hash"),
+      col("spending_index"), col("spending_time"),
+      col("spending_value_usd"), col("spending_sequence"),
+      col("spending_signature_hex"), col("spending_witness"),
+      col("lifespan").as("lifespan_secs"),
+      (col("lifespan") / 86400.0).as("lifespan_days"),
+      col("cdd").as("cdd_days"),
+      calculateCdd(col("lifespan"), col("value")).as("calculated_cdd_days"))
+      .filter(col("transaction_hash").isNotNull)
+
+  /** stg_outputs (models/staged/stg_outputs.sql:9-23). */
+  def stgOutputs(outputsRaw: DataFrame): DataFrame =
+    outputsRaw.select(
+      col("block_id"), col("transaction_hash"), col("index"), col("time"),
+      col("value").as("value_sats"),
+      convertToBtc(col("value")).as("value_btc"),
+      col("value_usd"),
+      col("recipient"), col("type"), col("script_hex"),
+      col("is_from_coinbase"), col("is_spendable"))
+      .filter(col("transaction_hash").isNotNull)
+
+  /** stg_addresses (models/staged/stg_addresses.sql:9-14). */
+  def stgAddresses(addressRaw: DataFrame): DataFrame =
+    addressRaw.select(
+      col("address"),
+      col("balance").as("balance_sats"),
+      convertToBtc(col("balance")).as("balance_btc"))
+      .filter(col("address").isNotNull)
+
+  // ===== intermediate (tables) =====
+
+  /** int_transaction_flows (models/intermediate/int_transaction_flows
+    * .sql:8-46): J1 (tx→blocks, single key) + J2 (tx→inputs, tx→outputs on
+    * the composite (transaction_hash, block_id) — the N×M per-tx edge
+    * fan-out) + P5 coinbase categorization.
+    *
+    * Scale: blocks is ~1/2000th of tx — broadcast. inputs/outputs/tx all
+    * shuffle on the same composite key, so the two fan-out joins reuse one
+    * exchange per side; at 100 TB these three tables should be bucketed by
+    * transaction_hash to make the exchanges vanish. */
+  def intTransactionFlows(stgTx: DataFrame, stgBlocks: DataFrame,
+      stgInputs: DataFrame, stgOutputs: DataFrame): DataFrame = {
+    // cdd_total_days exists on both tx and blocks — rename the block-side
+    // column at the source to keep references unambiguous.
+    val b = stgBlocks.select(col("block_id"), col("block_time"),
+      col("cdd_total_days").as("block_cdd_days"), col("reward_btc"))
+    val in = stgInputs.select(col("transaction_hash"), col("block_id"),
+      col("recipient").as("input_address"),
+      col("value_sats").as("input_value_sats"),
+      col("value_btc").as("input_value_btc"),
+      col("value_usd").as("input_value_usd"),
+      col("cdd_days").as("input_cdd_days"),
+      col("lifespan_days"), col("is_from_coinbase"))
+    val out = stgOutputs.select(col("transaction_hash"), col("block_id"),
+      col("recipient").as("output_address"),
+      col("value_sats").as("output_value_sats"),
+      col("value_btc").as("output_value_btc"),
+      col("value_usd").as("output_value_usd"))
+    stgTx
+      .join(broadcast(b), Seq("block_id"), "left")
+      .join(in, Seq("transaction_hash", "block_id"), "left")
+      .join(out, Seq("transaction_hash", "block_id"), "left")
+      .select(
+        col("transaction_hash"), col("block_id"),
+        col("block_time").as("tx_time"),
+        col("input_address"), col("output_address"),
+        col("input_value_sats"), col("input_value_btc"),
+        col("output_value_sats"), col("output_value_btc"),
+        col("input_value_usd"), col("output_value_usd"),
+        col("fee_sats"), col("fee_btc"), col("fee_usd"),
+        col("input_cdd_days"),
+        col("block_cdd_days"),
+        col("lifespan_days"),
+        when(col("is_from_coinbase") === 1, "coinbase")
+          .otherwise("standard").as("tx_type"),
+        col("reward_btc").as("block_reward_btc"))
+  }
+
+  /** int_address_balances_with_history
+    * (models/intermediate/int_address_balances_with_history.sql:8-50):
+    * P6 sign-flip + U1 union + J3 left join + W1 running balances with the
+    * default RANGE frame (ties in time share the cumulative value).
+    *
+    * Scale: the window and the join both partition by address — one
+    * shuffle, reused. */
+  def intAddressBalances(stgAddresses: DataFrame, stgInputs: DataFrame,
+      stgOutputs: DataFrame): DataFrame = {
+    val debits = stgInputs.select(
+      col("recipient").as("address"), col("time"),
+      (-col("value_sats")).as("value_change_sats"),
+      (-col("value_btc")).as("value_change_btc"),
+      (-col("value_usd")).as("value_change_usd"),
+      col("transaction_hash"))
+    val credits = stgOutputs.select(
+      col("recipient").as("address"), col("time"),
+      col("value_sats").as("value_change_sats"),
+      col("value_btc").as("value_change_btc"),
+      col("value_usd").as("value_change_usd"),
+      col("transaction_hash"))
+    val changes = debits.unionByName(credits)
+    val joined = stgAddresses.join(changes, Seq("address"), "left")
+    val w = Window.partitionBy("address").orderBy("time")
+    joined.select(
+      col("address"), col("time"), col("transaction_hash"),
+      col("value_change_sats"), col("value_change_btc"),
+      col("value_change_usd"),
+      sum(col("value_change_sats")).over(w).as("running_balance_sats"),
+      sum(col("value_change_btc")).over(w).as("running_balance_btc"),
+      sum(col("value_change_usd")).over(w).as("running_balance_usd"),
+      col("balance_sats").as("current_balance_sats"),
+      col("balance_btc").as("current_balance_btc"))
+  }
+
+  // ===== marts (tables) =====
+
+  /** fct_transaction_traces (models/marts/fct_transaction_traces
+    * .sql:8-25): W2 trace_sequence over the flow edges. */
+  def fctTransactionTraces(flows: DataFrame): DataFrame = {
+    val w = Window.partitionBy("transaction_hash").orderBy("tx_time")
+    flows.select(
+      col("input_address").as("source_address"),
+      col("output_address").as("destination_address"),
+      col("transaction_hash"), col("block_id"), col("tx_time"),
+      col("input_value_sats").as("transferred_value_sats"),
+      col("input_value_btc").as("transferred_value_btc"),
+      col("input_value_usd").as("transferred_value_usd"),
+      col("fee_sats"), col("fee_btc"), col("fee_usd"),
+      col("tx_type"), col("input_cdd_days"), col("block_cdd_days"),
+      col("block_reward_btc"),
+      row_number().over(w).as("trace_sequence"))
+  }
+
+  /** dim_addresses (models/marts/dim_addresses.sql:8-16): A1 sums + A2
+    * exact distinct per address. */
+  def dimAddresses(balances: DataFrame): DataFrame =
+    balances.groupBy("address", "current_balance_sats",
+      "current_balance_btc")
+      .agg(
+        sum("value_change_sats").as("lifetime_value_change_sats"),
+        sum("value_change_btc").as("lifetime_value_change_btc"),
+        countDistinct("transaction_hash").as("tx_count"))
+
+  /** dim_blocks (models/marts/dim_blocks.sql:8-21). */
+  def dimBlocks(stgBlocks: DataFrame): DataFrame =
+    stgBlocks.select(
+      col("block_id"), col("block_hash"), col("block_time"),
+      col("difficulty"), col("transaction_count"),
+      col("fee_total_sats"), col("fee_total_btc"), col("fee_total_usd"),
+      col("reward_sats"), col("reward_btc"), col("reward_usd"),
+      col("cdd_total_days"), col("guessed_miner"))
+}

@@ -1,0 +1,114 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ingest.Tsv
+import graft.schema.BlockchairSchemas
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** M1/M2/M4/M7 — pipeline orchestration: the dbt DAG as explicit lazy
+  * function composition (staging defs are unpersisted views; intermediate
+  * and mart tables are written clustered), with latest-file selection and
+  * preflight checks (reference: blockchair_etl_pipeline.sh:161-285,
+  * dbt_project.yml:19-30).
+  */
+object Pipeline {
+
+  /** All mart/intermediate outputs of one build. */
+  final case class Build(
+      stgBlocks: DataFrame, stgTransactions: DataFrame,
+      stgInputs: DataFrame, stgOutputs: DataFrame, stgAddresses: DataFrame,
+      intTransactionFlows: DataFrame, intAddressBalances: DataFrame,
+      fctTransactionTraces: DataFrame, dimAddresses: DataFrame,
+      dimBlocks: DataFrame)
+
+  /** M4 — the DAG: staged → intermediate → marts. Staging layers stay
+    * lazy (S6 view semantics: createOrReplaceTempView on request); the
+    * shared stg_inputs/stg_outputs subtrees fan out into both
+    * intermediates, so callers materializing the full build should
+    * persist them (dbt materializes them as warehouse views but the
+    * intermediates as tables — [[writeBuild]] mirrors that). */
+  def build(blocksRaw: DataFrame, txRaw: DataFrame, inputsRaw: DataFrame,
+      outputsRaw: DataFrame, addressesRaw: DataFrame): Build = {
+    val b = Models.stgBlocks(blocksRaw)
+    val t = Models.stgTransactions(txRaw)
+    val i = Models.stgInputs(inputsRaw)
+    val o = Models.stgOutputs(outputsRaw)
+    val a = Models.stgAddresses(addressesRaw)
+    val flows = Models.intTransactionFlows(t, b, i, o)
+    val balances = Models.intAddressBalances(a, i, o)
+    Build(b, t, i, o, a, flows, balances,
+      Models.fctTransactionTraces(flows),
+      Models.dimAddresses(balances),
+      Models.dimBlocks(b))
+  }
+
+  /** S6 — register the staging layer as temp views (lazy, recomputed —
+    * identical semantics to dbt's `materialized='view'`). */
+  def registerStagingViews(bld: Build): Unit = {
+    bld.stgBlocks.createOrReplaceTempView("stg_blocks")
+    bld.stgTransactions.createOrReplaceTempView("stg_transactions")
+    bld.stgInputs.createOrReplaceTempView("stg_inputs")
+    bld.stgOutputs.createOrReplaceTempView("stg_outputs")
+    bld.stgAddresses.createOrReplaceTempView("stg_addresses")
+  }
+
+  /** S7 — table sinks with the reference's clustering keys
+    * (cluster_by → repartition + sortWithinPartitions; at 100 TB these
+    * writes would also partitionBy a date column for pruning). */
+  def writeBuild(bld: Build, outDir: String): Unit = {
+    def write(df: DataFrame, name: String, cluster: Seq[String]): Unit = {
+      import org.apache.spark.sql.functions.col
+      df.repartition(cluster.map(col): _*)
+        .sortWithinPartitions(cluster.map(col): _*)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    // cluster_by keys from the model configs:
+    write(bld.intTransactionFlows, "int_transaction_flows",
+      Seq("transaction_hash", "tx_time"))
+    write(bld.intAddressBalances, "int_address_balances_with_history",
+      Seq("address", "time"))
+    write(bld.fctTransactionTraces, "fct_transaction_traces",
+      Seq("source_address", "destination_address", "tx_time"))
+    write(bld.dimAddresses, "dim_addresses", Seq("address"))
+    write(bld.dimBlocks, "dim_blocks", Seq("block_id"))
+  }
+
+  /** Read the five raw tables from a directory of TSV files
+    * (blockchair_{coin}_{type}_{date}.tsv[.gz] naming). */
+  def readRaw(spark: SparkSession, dir: String): Build = {
+    def rd(token: String, schema: org.apache.spark.sql.types.StructType) =
+      Tsv.readRouted(spark, s"$dir/*.tsv*", token, schema)
+    build(
+      rd("blocks", BlockchairSchemas.blocks),
+      rd("transactions", BlockchairSchemas.transactions),
+      rd("inputs", BlockchairSchemas.inputs),
+      rd("outputs", BlockchairSchemas.outputs),
+      rd("addresses", BlockchairSchemas.addresses))
+  }
+
+  /** M2 — latest-file selection: newest dump per type by the YYYYMMDD
+    * filename token (blockchair_etl_pipeline.sh:182-188). */
+  private val FileDate = raw".*_(\d{8})\.tsv(\.gz)?$$".r
+  def latestFile(dir: Path, tableToken: String): Option[Path] = {
+    if (!Files.isDirectory(dir)) return None
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.contains(tableToken))
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case FileDate(d, _) => Some((d, p))
+          case _ => None
+        }
+      }
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** M7 — preflight: all five raw inputs present and non-empty. */
+  def preflight(dir: Path): Either[String, Unit] = {
+    val required = Seq("blocks", "transactions", "inputs", "outputs",
+      "addresses")
+    val missing = required.filter(latestFile(dir, _).isEmpty)
+    if (missing.nonEmpty) Left(s"missing raw dumps: ${missing.mkString(", ")}")
+    else Right(())
+  }
+}
