@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    for (name <- args; i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, d).count()
+      println(f"PROFILE $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star extension): image/audio/video
+  * as opaque `binary` columns with typed metadata, and a partition-batched
+  * decode / feature-extract stage.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — but everything
+  * Spark-side is real and tested: the binary column schema, the typed
+  * mapPartitions batch shape (the Scala analog of mapInPandas: one
+  * iterator per partition, amortizing per-batch decoder init), partition
+  * sizing, and the downstream feature schema.
+  *
+  * Scale: decode is embarrassingly parallel per partition; the expensive
+  * decoder handle is created once per partition, not per row — the exact
+  * pattern a real codec (JNI / FFI) needs. Output features are fixed-width
+  * arrays, so downstream similarity ops reuse the VectorOps path.
+  */
+object MediaPipeline {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Float])
+
+  /** Attach the opaque payload column (here: utf-8 text bytes stand in
+    * for real media bytes). */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** DETERMINISTIC STUB for the media decode. A real deployment replaces
+    * this body with the codec call; the signature — bytes in, typed
+    * features out — is the contract the pipeline tests. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    var h = 1125899906842597L // FNV-ish deterministic fold over the bytes
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val width = 16 + math.floorMod(h, 640).toInt
+    val height = 16 + math.floorMod(h >> 16, 480).toInt
+    val frames = 1 + math.floorMod(h >> 32, 32).toInt
+    val feat = Array.tabulate(8)(j =>
+      (math.floorMod(h >> (j * 7), 1000) / 1000.0f))
+    (width, height, frames, feat)
+  }
+
+  /** The decode stage: typed mapPartitions — per-partition decoder init,
+    * then a pure iterator map (no per-row setup, no collect). */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition: init the (stub) decoder once
+      val decoder = decodeStub _
+      rows.map { r =>
+        val (w, hgt, frames, feat) = decoder(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length, w, hgt, frames, feat)
+      }
+    }
+  }
+
+  /** Frame sampling plan: deterministic every-k frame indices per row —
+    * the plumbing a video pipeline needs before decode fan-out. */
+  def sampleFrameIndices(features: Dataset[MediaFeatures],
+      everyK: Int): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.toDF().select(col("doc_id"), col("n_frames"),
+      sequence(lit(0), col("n_frames") - 1, lit(everyK))
+        .as("sampled_frames"))
+  }
+}

@@ -71,10 +71,10 @@ object TraceOps extends QueryModule {
               SELECT hop, src, dst, COUNT(*) AS paths
               FROM trace_path GROUP BY 1, 2, 3""")),
 
-    // J6: the fallback wrapper — same result as j5 when no failure occurs,
-    // same oracle.
+    // J6: the fallback wrapper — same result as the plain trace when no
+    // failure occurs (2 hops keeps the bench cost distinct from j5).
     Q("j6_trace_fallback",
-      (s, d) => traceWithFallback(edgeSet(s, d), source = 7L, maxHops = 3),
+      (s, d) => traceWithFallback(edgeSet(s, d), source = 7L, maxHops = 2),
       Some("""WITH RECURSIVE edges AS (
                 SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
                 FROM events),
@@ -83,7 +83,7 @@ object TraceOps extends QueryModule {
                 UNION ALL
                 SELECT e.src, e.dst, t.hop + 1
                 FROM trace_path t JOIN edges e ON t.dst = e.src
-                WHERE t.hop < 3)
+                WHERE t.hop < 2)
               SELECT hop, src, dst, COUNT(*) AS paths
               FROM trace_path GROUP BY 1, 2, 3"""))
   )

@@ -1,0 +1,48 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MediaPipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq((1L, "hello media world"), (2L, "x"), (3L, "longer payload body"))
+      .toDF("doc_id", "text")
+  }
+
+  test("payload column is binary with correct byte length") {
+    val media = MediaPipeline.withPayload(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val lens = media.select(col("doc_id"), length(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lens(1L) == 17 && lens(2L) == 1)
+  }
+
+  test("decode runs per-partition and yields deterministic features") {
+    val features = MediaPipeline.decode(spark,
+      MediaPipeline.withPayload(docs))
+    val rows = features.collect().map(f => f.doc_id -> f).toMap
+    assert(rows(1L).media_bytes == 17)
+    assert(rows.values.forall(f => f.width >= 16 && f.height >= 16))
+    assert(rows.values.forall(_.feature.length == 8))
+    // determinism across runs
+    val again = MediaPipeline.decode(spark,
+      MediaPipeline.withPayload(docs)).collect().map(f => f.doc_id -> f).toMap
+    assert(rows(3L).feature.toSeq == again(3L).feature.toSeq)
+    assert(rows(3L).n_frames == again(3L).n_frames)
+  }
+
+  test("frame sampling emits every-k indices bounded by n_frames") {
+    val features = MediaPipeline.decode(spark,
+      MediaPipeline.withPayload(docs))
+    val sampled = MediaPipeline.sampleFrameIndices(features, everyK = 4)
+      .collect()
+    sampled.foreach { r =>
+      val n = r.getAs[Int]("n_frames")
+      val idx = r.getAs[scala.collection.Seq[Int]]("sampled_frames")
+      assert(idx.head == 0 && idx.forall(i => i >= 0 && i < n))
+      assert(idx.toSeq == idx.toSeq.sorted)
+    }
+  }
+}

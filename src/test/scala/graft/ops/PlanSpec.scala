@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the scale claims in the operator Scaladoc
+  * must be visible in the executed plan — pushdown reaching the parquet
+  * scan, dims broadcast, sort+limit folded to TakeOrderedAndProject,
+  * partial (map-side) aggregation, and the custom dot product inside
+  * WholeStageCodegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p7: time-range predicate is pushed to the parquet scan") {
+    val p = plan("p7_time_range")
+    assert(p.contains("PushedFilters: [IsNotNull(ts)"), p.take(800))
+  }
+
+  test("p1: projection prunes the scan to selected columns only") {
+    val p = plan("p1_rename_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey"), "unused column not pruned")
+  }
+
+  test("j1/j4: dimension joins broadcast") {
+    assert(plan("j1_left_single").contains("BroadcastHashJoin"))
+    assert(plan("j4_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("o1/o2: sort+limit folds to TakeOrderedAndProject") {
+    assert(plan("o1_top1").contains("TakeOrderedAndProject"))
+    assert(plan("o2_ordered_page").contains("TakeOrderedAndProject"))
+  }
+
+  test("a1: aggregation is two-phase (map-side partial)") {
+    val p = plan("a1_sum_group")
+    assert(p.contains("partial_sum") || p.contains("partial"), p.take(800))
+  }
+
+  test("ann: custom dot product participates in whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val p = e.select(graft.functions.VectorExprs
+        .dotProduct(col("v"), col("v")).as("norm_sq"))
+      .queryExecution.executedPlan.toString
+    // a plain projection stage: graft_dot must sit inside a
+    // WholeStageCodegen span (rendered as the `*(n)` prefix)
+    assert(p.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_dot.*"),
+      p.take(1200))
+    assert(!p.contains("CodegenFallback"), p.take(1200))
+    // and the all-pairs query (nested-loop join — never codegen'd as a
+    // whole) still evaluates the native expression:
+    val np = graft.SparkEntry.queries("emb_neardup_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(np.contains("graft_dot"))
+  }
+
+  test("a2 scale variant: approx_count_distinct plans without expand") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+    val p = li.groupBy("l_suppkey")
+      .agg(approx_count_distinct("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"))
+  }
+}
