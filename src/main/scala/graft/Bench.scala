@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup at the smallest SF first: JIT + codegen compilation otherwise
+    // lands entirely in the first measured query.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count() }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     // Stable order + per-query cache isolation: caches built inside one
     // query must not distort the next query's measurement.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

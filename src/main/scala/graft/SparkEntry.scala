@@ -12,7 +12,7 @@ import graft.ops._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps)
+    Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The recursive multi-hop trace is the reference's flagship

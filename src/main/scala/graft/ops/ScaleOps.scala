@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import Parity._
+
+/** Scale-path variants of exact operators (SURVEY.md §2.10 note + §7.1
+  * step 9): the shapes that keep working when the exact formulation
+  * stops fitting — approximate distinct counting, and salted joins for
+  * skewed keys.
+  */
+object ScaleOps extends QueryModule {
+
+  /** Salted equi-join: decompose a skewed join into `salts` uniform
+    * sub-joins by replicating the build side. Produces EXACTLY the rows of
+    * the plain join — the oracle is the plain SQL join — while the
+    * physical exchange hashes on (key, salt), so one hot key spreads over
+    * `salts` reducers instead of one straggler.
+    *
+    * AQE's skew-join split handles sort-merge skew automatically at
+    * runtime; explicit salting remains the tool when the skew is known
+    * up front, when AQE is off, or for aggregate-then-join pipelines. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ---- A2 at scale: HLL-sketch distinct (approx_count_distinct).
+    //      No oracle — approximate by design; determinism check only.
+    Q("a2_approx_distinct",
+      (s, d) => lineitem(s, d).groupBy("l_suppkey")
+        .agg(approx_count_distinct("l_orderkey").as("approx_orders")),
+      None),
+
+    // ---- Salted join produces byte-identical results to the plain join
+    //      (oracle = plain SQL), aggregated to a per-key readout.
+    Q("skew_salted_join",
+      (s, d) => {
+        val l = lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        val o = orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey"))
+        saltedJoin(l, o, "l_orderkey", salts = 8)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_lines"),
+            decSum(col("l_extendedprice")).as("total_price"))
+      },
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_lines,
+              ${sqlDecSum("l_extendedprice")} AS total_price
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1""")),
+
+    // ---- IVF-style ANN: coarse quantization by the `label` partition
+    //      (stands in for k-means cell assignment), search only the
+    //      query's cell. Sub-linear probe count; rows-only check (the
+    //      exact baseline is ann_cosine_topk).
+    Q("ann_ivf_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("label"),
+            col("v").as("qv"), col("norm").as("qnorm"))
+        val scored = e.join(broadcast(qs), Seq("label"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(VectorOps.cosineWithNorms(col("qv"), col("v"),
+              col("qnorm"), col("norm")), 6).as("cos_sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("query_id", "vec_id", "cos_sim", "rn")
+      },
+      None)
+  )
+}

@@ -35,13 +35,11 @@ object TextOps extends QueryModule {
   private def toksCol = tokens(col("text"))
 
   /** Word n-gram shingles as an array column (empty if too few tokens).
-    * slice() is 1-based; guard prevents sequence() descending on short
-    * docs. */
+    * Native expression — the HOF transform+slice formulation costs an
+    * interpreted lambda + array copy per shingle (see
+    * [[graft.functions.NGramShingles]]). */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.TextExprs.wordShingles(toks, n)
 
   /** 16-hash MinHash signature columns for a (doc_id, shingle) relation. */
   private val numHashes = 16

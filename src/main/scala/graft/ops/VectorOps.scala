@@ -46,17 +46,28 @@ object VectorOps extends QueryModule {
     dot(a, b) / (normA * normB)
 
   private val numPlanes = 8
+  private val dims = 64
 
-  /** Deterministic pseudo-random hyperplane LSH bucket: for each plane,
-    * the sign of the projection onto weights derived from xxhash64 of
-    * (plane, dim). Engine-specific hash → rows-only checks. */
-  private val lshBucketExpr =
-    s"""aggregate(sequence(0, ${numPlanes - 1}), 0L, (acc, p) ->
-          acc + IF(
-            aggregate(sequence(0, 63), 0.0D, (s, i) ->
-              s + (CAST(pmod(xxhash64(p * 64 + i), 1000) AS DOUBLE) / 1000.0
-                   - 0.5) * CAST(element_at(embedding, i + 1) AS DOUBLE))
-            > 0.0D, shiftleft(1L, p), 0L))"""
+  /** Deterministic pseudo-random hyperplanes (splitmix64 fold of
+    * (plane, dim)), materialized as literal weight vectors so each
+    * projection is one codegen'd dot product instead of a nested
+    * interpreted fold. */
+  private[ops] val planes: Seq[Seq[Double]] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until numPlanes).map(p => (0 until dims).map(i =>
+      (math.floorMod(splitmix(p.toLong * dims + i), 1000L) / 1000.0) - 0.5))
+  }
+
+  /** Random-hyperplane sign bucket of an array<double> vector. */
+  def lshBucket(v: Column): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      when(dot(v, typedLit(w)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   def all: Seq[Q] = Seq(
 
@@ -129,10 +140,10 @@ object VectorOps extends QueryModule {
     Q("ann_lsh_topk",
       (s, d) => {
         val e = embeddings(s, d)
-          .withColumn("bucket", expr(lshBucketExpr))
-          .select(col("vec_id"), col("bucket"),
-            asDouble(col("embedding")).as("v"))
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .withColumn("bucket", lshBucket(col("v")))
           .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+          .cache()
         val qs = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("bucket"),
             col("v").as("qv"), col("norm").as("qnorm"))
