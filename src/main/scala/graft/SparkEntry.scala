@@ -12,7 +12,8 @@ import graft.ops._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps)
+    Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
+      Extensions)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The recursive multi-hop trace is the reference's flagship

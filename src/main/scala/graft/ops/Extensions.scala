@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import Parity._
+
+/** Operator-class extensions beyond the reference's surface: generators
+  * (explode), grouping-set rollups, lag/lead windows, semi/anti joins,
+  * and an as-of join. The reference needs none of these (SURVEY.md §2
+  * "absent" rows) — they round out the engine to a complete analytics
+  * surface, each with a DuckDB oracle.
+  */
+object Extensions extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Generator: explode after array filtering (stopword removal) —
+    //      the UDTF-shaped operator class. One Generate node, no shuffle.
+    Q("x1_explode_tokens",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "),
+            w => !w.isin("the", "a", "of", "and"))).as("token")),
+      Some("""SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+              w -> w NOT IN ('the', 'a', 'of', 'and'))) AS token
+              FROM documents""")),
+
+    // ---- Grouping sets: ROLLUP totals. Spark and ANSI both mark
+    //      super-aggregate rows with NULL group keys.
+    Q("x2_rollup_agg",
+      (s, d) => orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          decSum(col("o_totalprice")).as("total")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              ${sqlDecSum("o_totalprice")} AS total
+              FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")),
+
+    // ---- lag/lead over an event-time window (delta vs previous event of
+    //      the same user). Single subtraction — exact, no rounding needed.
+    Q("x3_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"),
+          col("event_id"))
+        events(s, d).select(col("event_id"), col("user_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+          (lead(col("value"), 1).over(w) - col("value")).as("delta_next"))
+      },
+      Some("""SELECT event_id, user_id,
+              value - lag(value, 1) OVER w AS delta_prev,
+              lead(value, 1) OVER w - value AS delta_next
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // ---- Semi join: customers WITH orders in a window (EXISTS shape —
+    //      no fan-out, build side broadcastable when small).
+    Q("j7_semi_join",
+      (s, d) => {
+        val c = customer(s, d)
+        val o = orders(s, d).filter(col("o_orderdate") >=
+          to_timestamp(lit("1998-01-01 00:00:00")))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""")),
+
+    // ---- Anti join: customers WITHOUT orders in the window.
+    Q("j8_anti_join",
+      (s, d) => {
+        val c = customer(s, d)
+        val o = orders(s, d).filter(col("o_orderdate") >=
+          to_timestamp(lit("1998-01-01 00:00:00")))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""")),
+
+    // ---- As-of join: for each purchase event, the user's latest click
+    //      at-or-before it. Implemented with the union + running-last
+    //      window — one sort-shuffle on (user, time), O(n log n), instead
+    //      of the quadratic per-key range join; this is the 100 TB shape.
+    //      The right side is deduplicated to one click per (user, ts)
+    //      (arg-max event_id) so tie resolution is deterministic and
+    //      matches DuckDB's ASOF semantics on a unique time axis.
+    Q("x4_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val clickW = Window.partitionBy("user_id", "ts")
+          .orderBy(desc("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .withColumn("rn", row_number().over(clickW))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"))
+        val u = clicks
+          .withColumn("purchase_id", lit(null).cast("long"))
+          .withColumn("side", lit(0))
+          .unionByName(purchases
+            .withColumn("click_id", lit(null).cast("long"))
+            .withColumn("click_value", lit(null).cast("double"))
+            .withColumn("side", lit(1)))
+        // clicks sort before purchases at equal ts → inclusive (>=) as-of
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("side"), col("purchase_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("asof_click_id",
+            last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("asof_click_value",
+            last(col("click_value"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("purchase_id"), col("user_id"), col("ts"),
+            col("asof_click_id"), col("asof_click_value"))
+      },
+      Some("""WITH clicks AS (
+                SELECT user_id, ts, event_id AS click_id,
+                       value AS click_value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                         ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'),
+              dedup AS (SELECT user_id, ts, click_id, click_value
+                        FROM clicks WHERE rn = 1),
+              purchases AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       event_id AS purchase_id
+                FROM events WHERE event_type = 'purchase')
+              SELECT p.purchase_id, p.user_id, p.ts,
+                     d.click_id AS asof_click_id,
+                     d.click_value AS asof_click_value
+              FROM purchases p ASOF LEFT JOIN dedup d
+                ON p.user_id = d.user_id AND p.ts >= d.ts"""))
+  )
+}
