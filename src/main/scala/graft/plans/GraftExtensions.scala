@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Min}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.DotProduct
+
+/** Catalyst extension wiring (SparkSessionExtensions) — the (c)-tier
+  * customization path from the build plan: a resolution-time rule that
+  * auto-accelerates the declarative dot-product pattern.
+  *
+  * Users (and the DuckDB-oracle mirror queries) can write the idiomatic
+  * higher-order-function form
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)
+  *
+  * and this rule rewrites it to the codegen'd [[DotProduct]] expression —
+  * identical ascending-index fold, so results are bit-equal — removing
+  * the interpreted-lambda overhead wherever the pattern appears (hand-
+  * written notebooks, generated SQL, SURVEY-mapped queries).
+  *
+  * Register with:
+  *   SparkSession.builder()
+  *     .withExtensions(GraftExtensions.install) ...
+  * or spark.sql.extensions=graft.plans.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+
+  def install(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(_ => AccelerateDotProduct)
+    ext.injectFunction(
+      (FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[Expression]) =>
+          DotProduct(children(0), children(1))))
+  }
+
+  /** Matches aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)
+    * over array<double> inputs and rewrites to DotProduct(a, b). */
+  object AccelerateDotProduct extends Rule[LogicalPlan] {
+
+    private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case agg @ ArrayAggregate(
+            zip @ ZipWith(a, b,
+              LambdaFunction(Multiply(x: NamedLambdaVariable,
+                y: NamedLambdaVariable, _), _, _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(acc: NamedLambdaVariable,
+              v: NamedLambdaVariable, _), _, _),
+            finish)
+          if a.resolved && b.resolved && isDoubleArray(a) &&
+            isDoubleArray(b) && zip.resolved &&
+            isIdentityFinish(finish) =>
+          DotProduct(a, b)
+      }
+
+    /** The default merge-only aggregate has an identity finish lambda. */
+    private def isIdentityFinish(finish: Expression): Boolean =
+      finish match {
+        case LambdaFunction(v: NamedLambdaVariable, Seq(arg), _) =>
+          v.exprId == arg.asInstanceOf[NamedLambdaVariable].exprId
+        case _ => false
+      }
+  }
+}
