@@ -7,7 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(graft.plans.GraftExtensions.install)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup at the smallest SF first: JIT + codegen compilation otherwise

@@ -37,6 +37,8 @@ object GraftExtensions {
 
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => AccelerateDotProduct)
+    ext.injectOptimizerRule(_ => PushLocalTopK)
+    ext.injectPlannerStrategy(_ => GraftStrategies)
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

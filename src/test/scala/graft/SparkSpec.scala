@@ -15,6 +15,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  /** One shared session for all suites, with the graft extensions
+    * installed — the library's recommended session shape. (A second
+    * getOrCreate with different extensions would silently reuse this one,
+    * so suites must not build their own.) */
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -22,6 +26,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(graft.plans.GraftExtensions.install)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -8,18 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * so this spec does not share the SparkSpec session. */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(GraftExtensions.install)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // the shared session carries the graft extensions
+  private lazy val spark: SparkSession = graft.SparkSpec.session
 
   test("HOF dot-product pattern is rewritten to the native expression") {
     import spark.implicits._

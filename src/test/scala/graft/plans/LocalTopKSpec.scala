@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LocalTopKSpec extends AnyFunSuite {
+
+  // the shared session carries the graft extensions
+  private lazy val spark: SparkSession = graft.SparkSpec.session
+
+  private def topkDf(k: Int) = {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("value"), asc("event_id"))
+    e.select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  test("rule inserts LocalTopKExec below the window exchange") {
+    val plan = topkDf(5).queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTopK"), plan.take(1500))
+  }
+
+  test("results identical to an unrewritten reference computation") {
+    val accelerated = topkDf(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._2, t._4))
+    // reference: full unfiltered window (rule needs the Filter to fire),
+    // top-5 selection done driver-side
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("value"), asc("event_id"))
+    val full = e.select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+    assert(!full.queryExecution.executedPlan.toString.contains("LocalTopK"))
+    val expected = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .filter(_._4 <= 5)
+      .sortBy(t => (t._2, t._4))
+    assert(accelerated.toSeq == expected.toSeq)
+    assert(accelerated.nonEmpty)
+  }
+
+  test("rn = 1 (argmax per key) also accelerates and matches") {
+    val w = Window.partitionBy("user_id").orderBy(desc("value"),
+      asc("event_id"))
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val top1 = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(top1.queryExecution.executedPlan.toString.contains("LocalTopK"))
+    val n = top1.count()
+    val users = e.select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(n == users)
+  }
+
+  test("non-matching shapes are not rewritten") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    // rank() instead of row_number — ties at the boundary make local
+    // pre-reduction unsafe, must stay stock
+    val w = Window.partitionBy("user_id").orderBy(desc("value"))
+    val ranked = e.withColumn("r", rank().over(w)).filter(col("r") <= 3)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("LocalTopK"))
+    // filter on something else entirely
+    val other = e.withColumn("rn", row_number().over(
+      Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .filter(col("value") > 100)
+    assert(!other.queryExecution.executedPlan.toString.contains("LocalTopK"))
+  }
+}
