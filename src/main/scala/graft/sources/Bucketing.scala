@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout management — the "cluster_by" story at 100 TB
+  * (SURVEY.md §4: clustering keys per model; reference
+  * int_transaction_flows.sql cluster_by=['transaction_hash','tx_time']).
+  *
+  * Writing both sides of a recurring join bucketed by the join key (same
+  * bucket count) lets Spark plan a sort-merge join with ZERO exchanges —
+  * the shuffle is paid once at write time and amortized over every
+  * subsequent join/aggregation on that key. This is the physical design
+  * that makes the flow-edge generator (tx ⋈ inputs ⋈ outputs on
+  * transaction_hash) and the per-address window pipelines exchange-free
+  * at scale.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+      else w
+    sorted.format("parquet").saveAsTable(table)
+  }
+
+  /** Co-located equi-join over two tables bucketed on the join key:
+    * with matching bucket counts Spark plans SMJ with no Exchange on
+    * either side. */
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+      on: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), on, joinType)
+}
