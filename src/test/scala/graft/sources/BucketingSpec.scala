@@ -14,6 +14,16 @@ class BucketingSpec extends SparkSpec {
     val o = graft.Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey")
       .withColumnRenamed("o_orderkey", "l_orderkey")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory survives — clear both
+    for (t <- Seq("li_bkt", "o_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Bucketing.writeBucketed(li, "li_bkt", Seq("l_orderkey"), 4,
       Seq("l_orderkey"))
     Bucketing.writeBucketed(o, "o_bkt", Seq("l_orderkey"), 4,
