@@ -56,20 +56,47 @@ object ScaleOps extends QueryModule {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY 1""")),
 
-    // ---- IVF-style ANN: coarse quantization by the `label` partition
-    //      (stands in for k-means cell assignment), search only the
-    //      query's cell. Sub-linear probe count; rows-only check (the
-    //      exact baseline is ann_cosine_topk).
+    // ---- IVF ANN: build a coarse quantizer (centroids = one Lloyd
+    //      assignment step from the label seeding — a distributed
+    //      per-(cell, dim) average), assign every vector to its nearest
+    //      centroid, probe the query's top-2 cells only. Centroids are
+    //      tiny metadata: collected, rounded (stabilizes against
+    //      accumulation-order ulps), and re-broadcast as literals — the
+    //      same train-then-broadcast shape a real IVF index uses at
+    //      100 TB. Rows-only check; exact baseline is ann_cosine_topk.
     Q("ann_ivf_topk",
       (s, d) => {
         val e = embeddings(s, d)
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
           .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
-        val qs = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("label"),
-            col("v").as("qv"), col("norm").as("qnorm"))
-        val scored = e.join(broadcast(qs), Seq("label"))
+          .cache()
+        // train: per-(cell, dim) mean over the label-seeded partition
+        val centroids: Map[Int, Seq[Double]] = e
+          .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("label", "dim").agg(avg("x").as("c"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (l, rows) =>
+            l -> rows.sortBy(_.getInt(1))
+              .map(r => math.rint(r.getDouble(2) * 1e6) / 1e6).toSeq
+          }
+        def cellScores(v: Column) = array(centroids.toSeq.sortBy(_._1).map {
+          case (id, w) => struct(
+            (VectorOps.dot(v, typedLit(w)) /
+              sqrt(VectorOps.dot(typedLit(w), typedLit(w)))).as("s"),
+            lit(id).as("c"))
+        }: _*)
+        // assign every vector to its best cell (array_max orders by s)
+        val assigned = e.withColumn("cell",
+          array_max(cellScores(col("v"))).getField("c"))
+        // queries probe their top-2 cells
+        val probes = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm").as("qnorm"),
+            explode(slice(array_sort(cellScores(col("v"))), -2, 2)
+              .getField("c")).as("cell"))
+        val scored = assigned.join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
             round(VectorOps.cosineWithNorms(col("qv"), col("v"),

@@ -45,7 +45,13 @@ object VectorOps extends QueryModule {
       normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  private val numPlanes = 8
+  /** Multi-table LSH geometry: L tables × b sign-bits. One 8-bit table
+    * almost never collides true neighbors of weakly-correlated vectors
+    * (p_agree^8 ≈ 0); the standard fix is several narrower tables — a
+    * candidate matches if it shares ANY table's bucket. */
+  private val numTables = 8
+  private val bitsPerTable = 6
+  private val numPlanes = numTables * bitsPerTable
   private val dims = 64
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 fold of
@@ -63,11 +69,23 @@ object VectorOps extends QueryModule {
       (math.floorMod(splitmix(p.toLong * dims + i), 1000L) / 1000.0) - 0.5))
   }
 
-  /** Random-hyperplane sign bucket of an array<double> vector. */
+  /** Random-hyperplane sign bucket of an array<double> vector (first 8
+    * planes — used for determinism tests and single-table demos). */
   def lshBucket(v: Column): Column =
-    planes.zipWithIndex.map { case (w, p) =>
+    planes.take(8).zipWithIndex.map { case (w, p) =>
       when(dot(v, typedLit(w)) > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** (table, bucket) pairs for the multi-table index: table t hashes with
+    * planes [t*b, (t+1)*b). */
+  def lshTableBuckets(v: Column): Column =
+    array((0 until numTables).map { t =>
+      val bucket = (0 until bitsPerTable).map { j =>
+        when(dot(v, typedLit(planes(t * bitsPerTable + j))) > 0.0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("b"))
+    }: _*)
 
   def all: Seq[Q] = Seq(
 
@@ -133,25 +151,34 @@ object VectorOps extends QueryModule {
                   (sqrt(list_dot_product(a.e, a.e)) *
                    sqrt(list_dot_product(b.e, b.e))), 6) >= 0.9""")),
 
-    // ---- LSH-bucketed ANN: candidates share a random-hyperplane sign
-    //      bucket with the query; cosine computed only within buckets.
-    //      Sub-linear scale path for ann_cosine_topk. Rows-only check
-    //      (xxhash64-derived planes).
+    // ---- LSH-bucketed ANN: multi-table random-hyperplane index — a
+    //      candidate is scored iff it shares at least one table's bucket
+    //      with the query. Sub-linear scale path for ann_cosine_topk.
+    //      Rows-only check (plane weights are engine-local).
     Q("ann_lsh_topk",
       (s, d) => {
         val e = embeddings(s, d)
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-          .withColumn("bucket", lshBucket(col("v")))
           .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+          .withColumn("tb", lshTableBuckets(col("v")))
           .cache()
+        val cands = e.select(col("vec_id"), col("v"), col("norm"),
+          explode(col("tb")).as("tb1"))
+          .select(col("vec_id"), col("v"), col("norm"),
+            col("tb1.t").as("t"), col("tb1.b").as("b"))
         val qs = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("bucket"),
-            col("v").as("qv"), col("norm").as("qnorm"))
-        val scored = e.join(broadcast(qs), Seq("bucket"))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm").as("qnorm"), explode(col("tb")).as("tb1"))
+          .select(col("query_id"), col("qv"), col("qnorm"),
+            col("tb1.t").as("t"), col("tb1.b").as("b"))
+        val pairs = cands.join(broadcast(qs), Seq("t", "b"))
           .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"),
-            round(cosineWithNorms(col("qv"), col("v"), col("qnorm"),
-              col("norm")), 6).as("cos_sim"))
+          .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
+            col("qnorm"), col("norm"))
+          .dropDuplicates("query_id", "vec_id")
+        val scored = pairs.select(col("query_id"), col("vec_id"),
+          round(cosineWithNorms(col("qv"), col("v"), col("qnorm"),
+            col("norm")), 6).as("cos_sim"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
         scored.withColumn("rn", row_number().over(w))

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Approximate ANN variants must actually find neighbors: measure recall
+  * of the LSH and IVF paths against the exact brute-force top-10. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def topk(name: String): Map[Long, Set[Long]] =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.map(_.getAs[Long]("vec_id")).toSet
+      }
+
+  test("IVF recall vs exact top-10") {
+    val exact = topk("ann_cosine_topk")
+    val ivf = topk("ann_ivf_topk")
+    val recalls = exact.map { case (q, truth) =>
+      val got = ivf.getOrElse(q, Set.empty)
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // The fixture embeddings are nearly unclustered (within-label mean
+    // cosine ≈ 0.0016 vs 0.0003 across), so nprobe=2 of 10 cells is the
+    // probed-fraction regime: the assertion pins "meaningfully above the
+    // ~0.2 random-probe floor", not clustered-data recall.
+    assert(mean >= 0.3, s"IVF mean recall too low: $mean")
+  }
+
+  test("multi-table LSH finds a nontrivial share of true neighbors") {
+    val exact = topk("ann_cosine_topk")
+    val lsh = topk("ann_lsh_topk")
+    val recalls = exact.map { case (q, truth) =>
+      truth.intersect(lsh.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8 tables × 6 bits on weakly-correlated 64-dim vectors: theory puts
+    // neighbor collision around 0.2-0.3 while probing ~10% of the corpus.
+    assert(mean >= 0.15, s"LSH mean recall too low: $mean")
+  }
+}
