@@ -104,4 +104,47 @@ object SchemaMerge {
   def renderJson(schema: Schema): String =
     schema.map(c => s"""{"name": "${c.name}", "type": "${c.typ.render}"}""")
       .mkString("[", ", ", "]")
+
+  /** Parse the JSON dump back (the reference's parse_existing_schema JSON
+    * path, generate_snowflake_ddl.py:234-244). */
+  def parseJson(json: String): Schema = {
+    val entry = """\{\s*"name"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*"([^"]+)"\s*\}""".r
+    entry.findAllMatchIn(json).map { m =>
+      ColumnSpec(m.group(1).toUpperCase, parseType(m.group(2)))
+    }.toSeq
+  }
+
+  private val VarcharPat = """VARCHAR\((\d+)\)""".r
+  def parseType(t: String): SfType = t.toUpperCase.trim match {
+    case "INTEGER" => SfInteger
+    case "FLOAT" => SfFloat
+    case "BOOLEAN" => SfBoolean
+    case "DATE" => SfDate
+    case "TIMESTAMP" => SfTimestamp
+    case VarcharPat(n) => SfVarchar(n.toInt)
+    case "VARCHAR" => SfVarchar(16777216) // unbounded ≡ Snowflake max
+    case other => throw new IllegalArgumentException(s"unknown type: $other")
+  }
+
+  /** Spark StructType (with the varchar-tier metadata from
+    * [[BlockchairSchemas]]) → warehouse schema, for DDL emission of the
+    * real tables. */
+  def fromStructType(st: org.apache.spark.sql.types.StructType): Schema = {
+    import org.apache.spark.sql.types._
+    st.fields.toSeq.map { f =>
+      val typ = f.dataType match {
+        case LongType | IntegerType => SfInteger
+        case DoubleType | FloatType => SfFloat
+        case BooleanType => SfBoolean
+        case DateType => SfDate
+        case TimestampType => SfTimestamp
+        case StringType =>
+          SfVarchar(BlockchairSchemas.tierOf(f).getOrElse(defaultStringLength))
+        case other =>
+          throw new IllegalArgumentException(
+            s"no warehouse mapping for ${other.simpleString}")
+      }
+      ColumnSpec(sanitize(f.name, st.fields.indexOf(f)), typ)
+    }
+  }
 }
