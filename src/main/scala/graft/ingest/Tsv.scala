@@ -66,7 +66,10 @@ object Tsv {
       schema: StructType): (DataFrame, Seq[String]) = {
     val attempts = files.map(f => f -> Try {
       val df = read(spark, f, schema, permissive = false)
-      df.take(1) // force a parse probe
+      // Full-file parse probe: ON_ERROR='skip_file' skips on an error
+      // ANYWHERE in the file, so probing just the first row is not
+      // enough. The re-read on success is cheap relative to the load.
+      df.foreach(_ => ())
       df
     })
     val good = attempts.collect { case (_, scala.util.Success(df)) => df }

@@ -60,6 +60,21 @@ class TsvSpec extends SparkSpec {
     Files.delete(bad)
   }
 
+  test("S3 file-level: a file malformed mid-way is also skipped") {
+    val bad = dir.resolve("midbad_blocks_20250820.tsv")
+    Files.writeString(bad,
+      Fixtures.blocksHeader + "\n" +
+        Fixtures.blocksRows.head + "\n" +
+        "garbage\trow\n")
+    val (df, skipped) = Tsv.readSkippingBadFiles(spark,
+      Seq(bad.toString,
+        dir.resolve("blockchair_bitcoin_blocks_20250820.tsv.gz").toString),
+      BlockchairSchemas.blocks)
+    assert(skipped == Seq(bad.toString))
+    assert(df.count() == 3)
+    Files.delete(bad)
+  }
+
   test("S5: retention sweep deletes only files older than the cutoff") {
     val d = Files.createTempDirectory("graft-retention")
     val oldF = d.resolve("blockchair_bitcoin_blocks_20250101.tsv.gz")
