@@ -18,6 +18,26 @@ object PortableHashOps extends QueryModule {
   private val numHashes = 16
   private val bands = numHashes / 2
 
+  /** Universal-hash family over the Mersenne prime 2³¹−1: h_i = (a_i·h +
+    * b_i) mod p with a_i < 2²⁰, so every product stays < 2⁵¹ — safe in
+    * engines that error on BIGINT overflow instead of wrapping. The
+    * (a, b) pairs are fixed splitmix-derived constants, identical on both
+    * sides. */
+  private val P = 2147483647L
+  private[ops] val hashParams: Seq[(Long, Long)] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until numHashes).map { i =>
+      val a = math.floorMod(splitmix(2L * i), (1L << 20) - 1) + 1
+      val b = math.floorMod(splitmix(2L * i + 1), P)
+      (a, b)
+    }
+  }
+
   /** Portable 60-bit hash of a string column (Spark side). */
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
@@ -56,8 +76,11 @@ object PortableHashOps extends QueryModule {
               FROM hs""")),
 
     // ---- MinHash + LSH candidates on portable hashes — the full
-    //      pipeline oracle-checked: 3-gram shingles, 16 min-hashes,
-    //      8 bands of 2, bucket join, agreement estimate ≥ 0.5.
+    //      pipeline oracle-checked: 3-gram shingles, 16 min-hashes from a
+    //      universal family over ONE md5-derived base hash per shingle
+    //      (a naive double-hashing variant correlated the signatures and
+    //      inflated candidates 40×), 8 bands of 2, bucket join,
+    //      agreement estimate ≥ 0.5.
     Q("minhash_oracle_pairs",
       (s, d) => {
         val docs = documents(s, d).select(col("doc_id"),
@@ -65,8 +88,10 @@ object PortableHashOps extends QueryModule {
             .as("sh"))
         val exploded = docs.select(col("doc_id"),
           explode(col("sh")).as("s"))
-        val sigCols = (0 until numHashes).map(i =>
-          min(h60(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+          .withColumn("h", h60(col("s")) % P)
+        val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+          min((lit(a) * col("h") + lit(b)) % P).as(s"h$i")
+        }
         val sigs = exploded.groupBy("doc_id")
           .agg(sigCols.head, sigCols.tail: _*).cache()
         val banded = sigs.select(col("doc_id") +:
@@ -91,8 +116,9 @@ object PortableHashOps extends QueryModule {
           .filter(col("est_jaccard") >= 0.5)
       },
       Some {
-        val minCols = (0 until numHashes).map(i =>
-          s"MIN(${sqlH60(s"'$i:' || s")}) AS h$i").mkString(", ")
+        val minCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+          s"MIN(($a * h + $b) % $P) AS h$i"
+        }.mkString(", ")
         val bandRows = (0 until bands).map(b =>
           s"SELECT doc_id, $b AS band, md5(h${2 * b} || ',' || h${2 * b + 1}) AS bh, " +
             (0 until numHashes).map(i => s"h$i").mkString(", ") +
@@ -105,7 +131,10 @@ object PortableHashOps extends QueryModule {
                      range(1, len(t) - 1),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
                    FROM toks WHERE len(t) >= 3),
-            sigs AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+            hashed AS (SELECT doc_id,
+                ${sqlH60("s")} % $P AS h
+              FROM sh),
+            sigs AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
             banded AS ($bandRows),
             cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         ($agree) / 16.0 AS est_jaccard
