@@ -82,6 +82,23 @@ object Extensions extends QueryModule {
                 WHERE o_custkey = c_custkey
                 AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""")),
 
+    // ---- Pivot: per-user event-type counts as columns. Oracle via
+    //      conditional aggregation (the portable spelling of PIVOT).
+    Q("x7_pivot",
+      (s, d) => events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id,
+              COUNT(*) FILTER (event_type = 'click') AS click,
+              COUNT(*) FILTER (event_type = 'view') AS view,
+              COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+              COUNT(*) FILTER (event_type = 'signup') AS signup,
+              COUNT(*) FILTER (event_type = 'error') AS error
+              FROM events GROUP BY 1""")),
+
     // ---- As-of join: for each purchase event, the user's latest click
     //      at-or-before it. Implemented with the union + running-last
     //      window — one sort-shuffle on (user, time), O(n log n), instead

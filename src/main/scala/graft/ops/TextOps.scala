@@ -270,6 +270,31 @@ object TextOps extends QueryModule {
         expr(simhashExpr).as("simhash")),
       None),
 
+    // ---- Heavy hitters via the Space-Saving typed Aggregator: the
+    //      bounded-memory frequent-tokens aggregate. With capacity ≫
+    //      distinct-token count the sketch is exact, so the oracle is the
+    //      plain groupBy top-k; at real scale the same query runs with a
+    //      small capacity over an unbounded token domain.
+    Q("heavy_hitters_tokens",
+      (s, d) => {
+        import s.implicits._
+        val toks = documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok")).as[String]
+        val agg = graft.functions.TopKFreq.aggregator(k = 10,
+          capacity = 1024)
+        toks.select(agg.toColumn).toDF("top")
+          .select(posexplode(col("top")).as(Seq("pos", "entry")))
+          .select((col("pos") + 1).as("rank"),
+            col("entry._1").as("token"),
+            col("entry._2").as("cnt"))
+      },
+      Some("""WITH c AS (SELECT unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+              g AS (SELECT token, COUNT(*) AS cnt FROM c GROUP BY 1)
+              SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                AS INT) AS rank, token, cnt
+              FROM g ORDER BY cnt DESC, token LIMIT 10""")),
+
     // ---- F-extension: JSON field extraction (events.props).
     Q("f9_json_extract",
       (s, d) => events(s, d)
