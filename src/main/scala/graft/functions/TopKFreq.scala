@@ -11,63 +11,67 @@ import scala.collection.mutable
   *
   * Metwally/Agrawal/El Abbadi Space-Saving with `capacity` counters:
   * counts are exact for any item whose true frequency exceeds n/capacity;
-  * merge is the standard counter-sum + prune. The buffer is a bounded
-  * map, so memory is O(capacity) per partition regardless of input size.
+  * merge is the standard counter-sum + prune. The buffer is a plain
+  * mutable object serialized with Kryo — mutation happens in place per
+  * row, serialization only at partial-aggregation boundaries (the same
+  * lifecycle TypedImperativeAggregate uses), so reduce() is O(1) map ops,
+  * not a per-row copy.
   */
 object TopKFreq {
 
-  final case class Counters(counts: Map[String, Long], error: Map[String, Long])
+  /** Mutable sketch state: item → (count, possible over-estimate). */
+  final class SpaceSaving(val capacity: Int) extends Serializable {
+    val counts = new mutable.HashMap[String, Long]
+    val errors = new mutable.HashMap[String, Long]
+
+    def add(item: String): Unit = {
+      counts.get(item) match {
+        case Some(c) => counts.update(item, c + 1)
+        case None if counts.size < capacity =>
+          counts.update(item, 1L); errors.update(item, 0L)
+        case None =>
+          // evict the current minimum (deterministic tie-break by item);
+          // the newcomer inherits count+1 with that count as its error
+          val (minItem, minCount) = counts.minBy(p => (p._2, p._1))
+          counts.remove(minItem); errors.remove(minItem)
+          counts.update(item, minCount + 1)
+          errors.update(item, minCount)
+      }
+    }
+
+    def mergeWith(other: SpaceSaving): SpaceSaving = {
+      other.counts.foreach { case (item, c) =>
+        counts.update(item, counts.getOrElse(item, 0L) + c)
+        errors.update(item,
+          errors.getOrElse(item, 0L) + other.errors.getOrElse(item, 0L))
+      }
+      if (counts.size > capacity) {
+        val keep = counts.toSeq.sortBy(p => (-p._2, p._1)).take(capacity)
+          .map(_._1).toSet
+        counts.filterInPlace { case (i, _) => keep(i) }
+        errors.filterInPlace { case (i, _) => keep(i) }
+      }
+      this
+    }
+
+    def top(k: Int): Seq[(String, Long)] =
+      counts.toSeq.sortBy(p => (-p._2, p._1)).take(k)
+  }
 
   /** An aggregator returning the top `k` items with their (over-)counts,
     * using `capacity` internal counters (capacity ≥ k; more capacity =
     * tighter error). */
-  def aggregator(k: Int, capacity: Int): Aggregator[String, Counters, Seq[(String, Long)]] =
-    new Aggregator[String, Counters, Seq[(String, Long)]] {
-
-      override def zero: Counters = Counters(Map.empty, Map.empty)
-
-      override def reduce(b: Counters, item: String): Counters = {
-        val counts = mutable.Map.from(b.counts)
-        val errors = mutable.Map.from(b.error)
-        if (counts.contains(item)) counts(item) += 1
-        else if (counts.size < capacity) { counts(item) = 1; errors(item) = 0 }
-        else {
-          // evict the current minimum; new item inherits its count+1 with
-          // that count recorded as the possible over-estimate
-          val (minItem, minCount) = counts.minBy(p => (p._2, p._1))
-          counts.remove(minItem); errors.remove(minItem)
-          counts(item) = minCount + 1
-          errors(item) = minCount
-        }
-        Counters(counts.toMap, errors.toMap)
+  def aggregator(k: Int, capacity: Int): Aggregator[String, SpaceSaving, Seq[(String, Long)]] =
+    new Aggregator[String, SpaceSaving, Seq[(String, Long)]] {
+      override def zero: SpaceSaving = new SpaceSaving(capacity)
+      override def reduce(b: SpaceSaving, item: String): SpaceSaving = {
+        b.add(item); b
       }
-
-      override def merge(a: Counters, b: Counters): Counters = {
-        val counts = mutable.Map.from(a.counts)
-        val errors = mutable.Map.from(a.error)
-        b.counts.foreach { case (item, c) =>
-          counts.updateWith(item) {
-            case Some(x) => Some(x + c)
-            case None => Some(c)
-          }
-          errors.updateWith(item) {
-            case Some(x) => Some(x + b.error.getOrElse(item, 0L))
-            case None => Some(b.error.getOrElse(item, 0L))
-          }
-        }
-        if (counts.size > capacity) {
-          val keep = counts.toSeq.sortBy(p => (-p._2, p._1)).take(capacity)
-            .map(_._1).toSet
-          counts.filterInPlace { case (i, _) => keep(i) }
-          errors.filterInPlace { case (i, _) => keep(i) }
-        }
-        Counters(counts.toMap, errors.toMap)
-      }
-
-      override def finish(r: Counters): Seq[(String, Long)] =
-        r.counts.toSeq.sortBy(p => (-p._2, p._1)).take(k)
-
-      override def bufferEncoder: Encoder[Counters] = Encoders.product
+      override def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving =
+        a.mergeWith(b)
+      override def finish(r: SpaceSaving): Seq[(String, Long)] = r.top(k)
+      override def bufferEncoder: Encoder[SpaceSaving] =
+        Encoders.kryo[SpaceSaving]
       override def outputEncoder: Encoder[Seq[(String, Long)]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
