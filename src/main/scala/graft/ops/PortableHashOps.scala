@@ -25,15 +25,10 @@ object PortableHashOps extends QueryModule {
     * sides. */
   private val P = 2147483647L
   private[ops] val hashParams: Seq[(Long, Long)] = {
-    def splitmix(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    import graft.functions.SplitMix.mix
     (0 until numHashes).map { i =>
-      val a = math.floorMod(splitmix(2L * i), (1L << 20) - 1) + 1
-      val b = math.floorMod(splitmix(2L * i + 1), P)
+      val a = math.floorMod(mix(2L * i), (1L << 20) - 1) + 1
+      val b = math.floorMod(mix(2L * i + 1), P)
       (a, b)
     }
   }

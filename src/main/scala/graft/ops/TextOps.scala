@@ -223,9 +223,9 @@ object TextOps extends QueryModule {
               FROM cands c
               JOIN grams ga ON c.doc_a = ga.doc_id
               JOIN grams gb ON c.doc_b = gb.doc_id
-              WHERE len(list_intersect(ga.g, gb.g)) /
+              WHERE ROUND(len(list_intersect(ga.g, gb.g)) /
                 (len(ga.g) + len(gb.g)
-                 - len(list_intersect(ga.g, gb.g))) >= 0.2""")),
+                 - len(list_intersect(ga.g, gb.g))), 6) >= 0.2""")),
 
     // ---- MinHash + LSH near-dup candidates: shingle → 16-way minhash →
     //      8 bands of 2 → bucket join → signature-agreement estimate.

@@ -50,11 +50,16 @@ object TraceOps extends QueryModule {
   }
 
   /** J6 — degradation retry: on failure rerun with maxHops=1
-    * (app.py:380-383, Snowflake error 100298 equivalent). */
+    * (app.py:380-383, Snowflake error 100298 equivalent). The eager
+    * localCheckpoint forces execution INSIDE the try — a lazily-returned
+    * plan would defer any runtime failure (the OOM class this guards
+    * against) past the catch to the caller's first action. */
   def traceWithFallback(edges: DataFrame, source: Long,
       maxHops: Int): DataFrame =
-    try trace(edges, source, maxHops)
-    catch { case _: Exception => trace(edges, source, 1) }
+    try trace(edges, source, maxHops).localCheckpoint(true)
+    catch { case _: Exception =>
+      trace(edges, source, 1).localCheckpoint(true)
+    }
 
   def all: Seq[Q] = Seq(
     Q("j5_trace_recursive",

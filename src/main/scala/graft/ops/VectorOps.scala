@@ -58,16 +58,10 @@ object VectorOps extends QueryModule {
     * (plane, dim)), materialized as literal weight vectors so each
     * projection is one codegen'd dot product instead of a nested
     * interpreted fold. */
-  private[ops] val planes: Seq[Seq[Double]] = {
-    def splitmix(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+  private[ops] val planes: Seq[Seq[Double]] =
     (0 until numPlanes).map(p => (0 until dims).map(i =>
-      (math.floorMod(splitmix(p.toLong * dims + i), 1000L) / 1000.0) - 0.5))
-  }
+      (math.floorMod(graft.functions.SplitMix.mix(p.toLong * dims + i),
+        1000L) / 1000.0) - 0.5))
 
   /** Random-hyperplane sign bucket of an array<double> vector (first 8
     * planes — used for determinism tests and single-table demos). */

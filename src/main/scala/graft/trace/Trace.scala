@@ -65,10 +65,15 @@ object Trace {
   }
 
   /** J6 — degradation retry (app.py:380-383): any failure reruns with
-    * maxHops = 1. */
+    * maxHops = 1. The eager localCheckpoint forces execution inside the
+    * try — returning the lazy plan would defer runtime failures (the OOM
+    * class this guards against) past the catch. The result is bounded by
+    * `p.limit`, so checkpointing it is cheap. */
   def traceWithFallback(traces: DataFrame, p: TraceParams): DataFrame =
-    try trace(traces, p)
-    catch { case _: Exception => trace(traces, p.copy(maxHops = 1)) }
+    try trace(traces, p).localCheckpoint(true)
+    catch { case _: Exception =>
+      trace(traces, p.copy(maxHops = 1)).localCheckpoint(true)
+    }
 
   /** J4 + O2/O3 — final enrichment join to dim_blocks and ordered page
     * (app.py:372-374). */

@@ -51,14 +51,24 @@ class TraceSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("hop")).toSeq == Seq(1, 1))
   }
 
-  test("J6: fallback returns hop-1 results when the trace fails") {
-    // An invalid maxHops triggers the catch path via a planted failure:
-    // traces with a missing column cause the full trace to throw.
-    val broken = traces.drop("transferred_value_btc")
-    val r = Trace.traceWithFallback(
-      broken.withColumn("transferred_value_btc", lit(1.0)),
+  test("J6: fallback wrapper passes through on the healthy path") {
+    val r = Trace.traceWithFallback(traces,
       Trace.TraceParams("addrA", 2, from, to))
-    assert(r.count() == 3) // normal path still works through the wrapper
+    assert(r.count() == 3)
+  }
+
+  test("J6: runtime failures surface AT the wrapper, not at a later action") {
+    // Before the eager-materialization fix, a runtime failure was
+    // invisible to the try/catch (the plan is lazy) and only exploded at
+    // the caller's first action — the fallback could never fire. Now the
+    // wrapper executes inside the try: a poisoned input throws from the
+    // call itself (after the internal hop-1 retry also fails).
+    import org.apache.spark.sql.functions.expr
+    val poison = traces.withColumn("transferred_value_btc",
+      expr("raise_error('boom')").cast("double"))
+    assertThrows[Exception] {
+      Trace.traceWithFallback(poison, Trace.TraceParams("addrA", 2, from, to))
+    }
   }
 
   test("J4: enrichment join to dim_blocks") {
