@@ -82,6 +82,84 @@ object Extensions extends QueryModule {
                 WHERE o_custkey = c_custkey
                 AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""")),
 
+    // ---- Set operators with DISTINCT semantics: customers active in
+    //      both/only-one of two years.
+    Q("x8_set_ops",
+      (s, d) => {
+        def custsIn(year: Int) = orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit(s"$year-01-01 00:00:00"))
+            && col("o_orderdate") < to_timestamp(lit(s"${year + 1}-01-01 00:00:00")))
+          .select(col("o_custkey").as("cust"))
+        val both = custsIn(1996).intersect(custsIn(1997))
+          .withColumn("which", lit("both"))
+        val only96 = custsIn(1996).except(custsIn(1997))
+          .withColumn("which", lit("only_1996"))
+        both.unionByName(only96)
+      },
+      Some("""WITH c96 AS (SELECT o_custkey AS cust FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+              c97 AS (SELECT o_custkey AS cust FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+              SELECT cust, 'both' AS which
+              FROM (SELECT cust FROM c96 INTERSECT SELECT cust FROM c97)
+              UNION ALL
+              SELECT cust, 'only_1996'
+              FROM (SELECT cust FROM c96 EXCEPT SELECT cust FROM c97)""")),
+
+    // ---- CUBE: all grouping-set combinations.
+    Q("x9_cube_agg",
+      (s, d) => orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders
+              GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
+    // ---- String-function suite over one projection (upper/lower, trim,
+    //      pad, substring, replace, concat_ws, length).
+    Q("x10_string_funcs",
+      (s, d) => customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        lower(col("c_mktsegment")).as("lower_seg"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+        regexp_replace(col("c_name"), "Customer", "Cust")
+          .as("short_name"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"),
+        length(col("c_name")).as("name_len")),
+      Some("""SELECT c_custkey,
+              upper(c_name) AS upper_name,
+              lower(c_mktsegment) AS lower_seg,
+              substring(c_name, 1, 8) AS name_prefix,
+              lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+              regexp_replace(c_name, 'Customer', 'Cust') AS short_name,
+              concat_ws('|', c_name, c_mktsegment) AS joined,
+              CAST(length(c_name) AS INT) AS name_len
+              FROM customer""")),
+
+    // ---- Date-function suite (year/month/day extraction, date
+    //      difference in days, month arithmetic via truncation).
+    Q("x11_date_funcs",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(to_timestamp(lit("2002-01-01 00:00:00")),
+          col("o_orderdate")).as("days_to_2002"),
+        date_trunc("quarter", col("o_orderdate")).as("order_quarter")),
+      Some("""SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              CAST(day(o_orderdate) AS INT) AS dom,
+              CAST(date_diff('day', o_orderdate,
+                TIMESTAMP '2002-01-01 00:00:00') AS INT) AS days_to_2002,
+              date_trunc('quarter', o_orderdate) AS order_quarter
+              FROM orders""")),
+
     // ---- Pivot: per-user event-type counts as columns. Oracle via
     //      conditional aggregation (the portable spelling of PIVOT).
     Q("x7_pivot",
