@@ -177,6 +177,42 @@ object Extensions extends QueryModule {
               COUNT(*) FILTER (event_type = 'error') AS error
               FROM events GROUP BY 1""")),
 
+    // ---- Range (interval) join: clicks within ±1 hour of each purchase
+    //      by the same user. The naive formulation is an inequality join
+    //      (quadratic per user); the scale shape is BANDING — bin both
+    //      sides into interval-width buckets, equi-join on
+    //      (user, bucket ∈ {b−1, b, b+1}), then apply the exact predicate.
+    //      Each left row expands to 3 bucket probes regardless of data
+    //      size. Oracle = the plain inequality join.
+    Q("x12_range_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val hour = 3600L
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"),
+            (unix_timestamp(col("ts")) / hour).cast("long").as("b"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            (unix_timestamp(col("ts")) / hour).cast("long").as("cb"))
+        val probes = purchases.withColumn("cb",
+          explode(array(col("b") - 1, col("b"), col("b") + 1)))
+        probes.join(clicks, Seq("user_id", "cb"))
+          .filter(abs(unix_timestamp(col("c_ts"))
+            - unix_timestamp(col("p_ts"))) <= hour)
+          .groupBy("purchase_id", "user_id")
+          .agg(count(lit(1)).as("n_clicks_within_1h"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+              COUNT(*) AS n_clicks_within_1h
+              FROM events p JOIN events c
+                ON p.user_id = c.user_id
+                AND c.event_type = 'click'
+                AND abs(epoch(CAST(c.ts AS TIMESTAMP))
+                      - epoch(CAST(p.ts AS TIMESTAMP))) <= 3600
+              WHERE p.event_type = 'purchase'
+              GROUP BY 1, 2""")),
+
     // ---- As-of join: for each purchase event, the user's latest click
     //      at-or-before it. Implemented with the union + running-last
     //      window — one sort-shuffle on (user, time), O(n log n), instead
