@@ -25,14 +25,14 @@ object Parity {
   /** Exact sum of a money-like double column. */
   def decSum(c: Column): Column = outDec(sum(dec(c)))
 
-  /** Exact average of a money-like double column. */
-  def decAvg(c: Column): Column = outDec(avg(dec(c)))
+  // NOTE deliberately no decAvg: engines disagree on AVG(DECIMAL) result
+  // types (DuckDB returns DOUBLE, Spark a widened decimal), so decimal
+  // averages cannot hash-match. Express averages as sum+count, or round
+  // a double average for single-row outputs (see a4_avg_nullguard).
 
   /** SQL fragments for the DuckDB side of the same discipline. */
   def sqlDecSum(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DECIMAL(38,6))"
-  def sqlDecAvg(expr: String): String =
-    s"CAST(AVG(CAST($expr AS DECIMAL(18,6))) AS DECIMAL(38,6))"
   def sqlOutDec(expr: String): String =
     s"CAST($expr AS DECIMAL(38,6))"
 }
