@@ -177,6 +177,45 @@ object Extensions extends QueryModule {
               COUNT(*) FILTER (event_type = 'error') AS error
               FROM events GROUP BY 1""")),
 
+    // ---- Sessionization: 30-minute-gap sessions per user — the classic
+    //      lag → gap-flag → cumulative-sum session id, then per-session
+    //      aggregates. One shuffle on user_id shared by both windows.
+    //      (The streaming variant uses the built-in session_window —
+    //      see graft.streaming.StreamIngest.)
+    Q("x13_sessionize",
+      (s, d) => {
+        val byTime = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val gapSecs = 1800L
+        val newSess = when(lag(col("ts"), 1).over(byTime).isNull
+          || unix_timestamp(col("ts"))
+            - unix_timestamp(lag(col("ts"), 1).over(byTime)) > gapSecs, 1L)
+          .otherwise(0L)
+        events(s, d)
+          .withColumn("sess_id", sum(newSess).over(byTime))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("sess_start"),
+            max(col("ts")).as("sess_end"))
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN lag(ts, 1) OVER w IS NULL
+                         OR epoch(CAST(ts AS TIMESTAMP))
+                          - epoch(CAST(lag(ts, 1) OVER w AS TIMESTAMP))
+                          > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              numbered AS (
+                SELECT user_id, ts,
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS BIGINT) AS sess_id
+                FROM flagged)
+              SELECT user_id, sess_id, COUNT(*) AS n_events,
+                MIN(ts) AS sess_start, MAX(ts) AS sess_end
+              FROM numbered GROUP BY 1, 2""")),
+
     // ---- Range (interval) join: clicks within ±1 hour of each purchase
     //      by the same user. The naive formulation is an inequality join
     //      (quadratic per user); the scale shape is BANDING — bin both

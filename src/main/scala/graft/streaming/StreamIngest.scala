@@ -67,6 +67,24 @@ object StreamIngest {
       }.toDF("address", "net_flow_sats")
   }
 
+  /** Streaming exact deduplication: watermark-bounded state keyed on the
+    * natural key — the streaming counterpart of dedup_exact. */
+  def dedupStream(df: DataFrame, eventTimeCol: String, delay: String,
+      keys: String*): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicates(keys :+ eventTimeCol)
+
+  /** Session windows (30-min gap) over a streaming frame — the built-in
+    * session_window aggregate; state is bounded by the watermark. */
+  def sessionWindows(df: DataFrame, eventTimeCol: String,
+      gap: String): DataFrame =
+    df.withWatermark(eventTimeCol, "1 day")
+      .groupBy(col("user_id"),
+        session_window(col(eventTimeCol), gap).as("sess"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess.start").as("sess_start"),
+        col("sess.end").as("sess_end"), col("n_events"))
+
   /** Write a streaming frame to an in-memory sink (tests / dashboards). */
   def toMemorySink(df: DataFrame, queryName: String,
       outputMode: String): DataStreamWriter[Row] =

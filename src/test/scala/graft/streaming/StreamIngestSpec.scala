@@ -33,6 +33,45 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("fee_sats_total") == 13100000L)
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    val dir = Files.createTempDirectory("graft-stream3")
+    // the same transactions file landed twice (a re-delivered daily dump)
+    val body = (Fixtures.txHeader +: Fixtures.txRows).mkString("\n") + "\n"
+    Files.writeString(dir.resolve("blockchair_bitcoin_transactions_20250820.tsv"), body)
+    Files.writeString(dir.resolve("blockchair_bitcoin_transactions_20250820_redelivery.tsv"), body)
+    val stream = StreamIngest.readTsvStream(spark, dir.toString,
+      graft.schema.BlockchairSchemas.transactions, maxFilesPerTrigger = 2)
+    val stg = graft.models.Models.stgTransactions(stream)
+    val deduped = StreamIngest.dedupStream(stg, "tx_time", "1 day",
+      "transaction_hash", "block_id")
+    val q = deduped.writeStream.format("memory").queryName("tx_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val n = spark.sql("SELECT COUNT(*) FROM tx_dedup").collect()(0).getLong(0)
+    assert(n == 3) // six landed rows (3 × 2 files) → 3 distinct
+  }
+
+  test("streaming session windows aggregate with bounded state") {
+    val dir = Files.createTempDirectory("graft-stream4")
+    Fixtures.writeAll(dir)
+    val inputs = StreamIngest.readTsvStream(spark, dir.toString + "/*inputs*",
+      graft.schema.BlockchairSchemas.inputs)
+    val ev = graft.models.Models.stgInputs(inputs)
+      .selectExpr("recipient AS user_id", "time AS ts")
+      .filter("user_id IS NOT NULL")
+    val sess = StreamIngest.sessionWindows(ev, "ts", "30 minutes")
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT * FROM sessions").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_events") >= 1))
+  }
+
   test("stateful running flow with mapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-stream2")
     Fixtures.writeAll(dir)
