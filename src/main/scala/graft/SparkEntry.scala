@@ -21,9 +21,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TraceOps.queries("j5_trace_recursive")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. A name
+    * collision across modules would silently last-win and drop a query
+    * from the correctness gate — fail loudly instead. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = modules.flatMap(_.all.map(_.name))
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     modules.flatMap(_.queries).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

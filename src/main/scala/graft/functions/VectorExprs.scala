@@ -25,13 +25,24 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
+  /** Semantics mirror the HOF fold exactly, including the degenerate
+    * cases: unequal lengths or a null element yield NULL (zip_with pads
+    * with nulls and a null poisons the fold) — required for the
+    * AccelerateDotProduct rewrite to be semantics-preserving. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -42,12 +53,20 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) {
+              ${ev.isNull} = true;
+              break;
+            }
+            $acc += $a.getDouble($i) * $b.getDouble($i);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -94,10 +94,20 @@ object Tsv {
       .write.mode("append").partitionBy("load_date").parquet(outDir)
   }
 
+  /** The dump filename contract: `..._{YYYYMMDD}.tsv[.gz]`
+    * (download_blockchair_data.py:235). Single source — retention,
+    * latest-file selection, and routing all parse the same token. */
+  val FileDate: scala.util.matching.Regex = raw".*_(\d{8})\.tsv(\.gz)?$$".r
+
+  /** YYYYMMDD token of a dump filename, if it follows the contract. */
+  def fileDateToken(fileName: String): Option[String] = fileName match {
+    case FileDate(d, _) => Some(d)
+    case _ => None
+  }
+
   /** S5 — retention vacuum: delete files whose YYYYMMDD filename token is
     * older than `retentionDays` relative to `today`
-    * (download_blockchair_data.py:218-246; filename pattern :235). */
-  private val FileDate = raw".*_(\d{8})\.tsv(\.gz)?$$".r
+    * (download_blockchair_data.py:218-246). */
 
   def retentionSweep(dir: Path, retentionDays: Int,
       today: java.time.LocalDate): Seq[Path] = {
@@ -105,13 +115,11 @@ object Tsv {
     val cutoff = today.minusDays(retentionDays.toLong)
     val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
     Files.list(dir).iterator().asScala.toSeq.flatMap { p =>
-      p.getFileName.toString match {
-        case FileDate(d, _) =>
-          val fileDate = Try(java.time.LocalDate.parse(d, fmt)).toOption
-          if (fileDate.exists(_.isBefore(cutoff))) {
-            Files.delete(p); Some(p)
-          } else None
-        case _ => None
+      fileDateToken(p.getFileName.toString).flatMap { d =>
+        val fileDate = Try(java.time.LocalDate.parse(d, fmt)).toOption
+        if (fileDate.exists(_.isBefore(cutoff))) {
+          Files.delete(p); Some(p)
+        } else None
       }
     }
   }

@@ -75,10 +75,14 @@ object Pipeline {
   }
 
   /** Read the five raw tables from a directory of TSV files
-    * (blockchair_{coin}_{type}_{date}.tsv[.gz] naming). */
+    * (blockchair_{coin}_{type}_{date}.tsv[.gz] naming). Routing is done
+    * with a token-specific file glob so each table parses ONLY its own
+    * files — an input_file_name() row filter (Tsv.readRouted) cannot
+    * prune the file listing and would parse the whole directory five
+    * times. */
   def readRaw(spark: SparkSession, dir: String): Build = {
     def rd(token: String, schema: org.apache.spark.sql.types.StructType) =
-      Tsv.readRouted(spark, s"$dir/*.tsv*", token, schema)
+      Tsv.read(spark, s"$dir/*$token*.tsv*", schema)
     build(
       rd("blocks", BlockchairSchemas.blocks),
       rd("transactions", BlockchairSchemas.transactions),
@@ -88,18 +92,13 @@ object Pipeline {
   }
 
   /** M2 — latest-file selection: newest dump per type by the YYYYMMDD
-    * filename token (blockchair_etl_pipeline.sh:182-188). */
-  private val FileDate = raw".*_(\d{8})\.tsv(\.gz)?$$".r
+    * filename token (blockchair_etl_pipeline.sh:182-188). Shares the
+    * filename contract with retention via Tsv.fileDateToken. */
   def latestFile(dir: Path, tableToken: String): Option[Path] = {
     if (!Files.isDirectory(dir)) return None
     Files.list(dir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.contains(tableToken))
-      .flatMap { p =>
-        p.getFileName.toString match {
-          case FileDate(d, _) => Some((d, p))
-          case _ => None
-        }
-      }
+      .flatMap(p => Tsv.fileDateToken(p.getFileName.toString).map(_ -> p))
       .sortBy(_._1).lastOption.map(_._2)
   }
 

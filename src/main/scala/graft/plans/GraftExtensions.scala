@@ -55,18 +55,28 @@ object GraftExtensions {
       case _ => false
     }
 
+    /** The binary op's operands must be exactly the lambda's two DISTINCT
+      * bound variables, in order — (x, y) -> x * x or (acc, v) ->
+      * acc + acc must NOT match (they are not dot-product folds). */
+    private def isArgPair(l: Expression, r: Expression,
+        args: Seq[NamedExpression]): Boolean = (l, r, args) match {
+      case (lv: NamedLambdaVariable, rv: NamedLambdaVariable,
+          Seq(a1: NamedLambdaVariable, a2: NamedLambdaVariable)) =>
+        lv.exprId == a1.exprId && rv.exprId == a2.exprId
+      case _ => false
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan =
       plan.transformAllExpressions {
         case agg @ ArrayAggregate(
             zip @ ZipWith(a, b,
-              LambdaFunction(Multiply(x: NamedLambdaVariable,
-                y: NamedLambdaVariable, _), _, _)),
+              LambdaFunction(Multiply(x, y, _), zipArgs, _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(acc: NamedLambdaVariable,
-              v: NamedLambdaVariable, _), _, _),
+            LambdaFunction(Add(acc, v, _), foldArgs, _),
             finish)
           if a.resolved && b.resolved && isDoubleArray(a) &&
             isDoubleArray(b) && zip.resolved &&
+            isArgPair(x, y, zipArgs) && isArgPair(acc, v, foldArgs) &&
             isIdentityFinish(finish) =>
           DotProduct(a, b)
       }

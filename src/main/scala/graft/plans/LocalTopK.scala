@@ -50,11 +50,19 @@ case class LocalTopKExec(
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
 
+  /** Bound on rows retained per map partition: beyond it, rows for NEW
+    * keys stream through unreduced — correctness is unaffected (the
+    * downstream Window recomputes exact ranks on whatever reaches it);
+    * the reduction just degrades gracefully instead of growing an
+    * unbounded in-memory map at high key cardinality. */
+  private val maxRetainedRows = 1 << 20
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val partSpec = partitionSpec
     val ordSpec = orderSpec
     val limit = k
+    val maxKeys = math.max(1, maxRetainedRows / math.max(1, limit))
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partSpec, childOutput)
       val ordering = GenerateOrdering.generate(ordSpec, childOutput)
@@ -62,16 +70,28 @@ case class LocalTopKExec(
       // top-k, evicted when a better row arrives.
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      val reduced = iter.flatMap { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering))
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < limit) heap.enqueue(row.copy())
+            else if (ordering.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+            None
+          case None if heaps.size < maxKeys =>
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[InternalRow](ordering)
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap) // copy only on first sight
+            None
+          case None =>
+            Some(row) // cardinality overflow: pass through unreduced
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      // heaps flush only after the input is exhausted (lazy ++)
+      reduced ++ Iterator.single(()).flatMap(_ =>
+        heaps.valuesIterator.flatMap(_.iterator))
     }
   }
 

@@ -42,4 +42,27 @@ class VectorExprsSpec extends SparkSpec {
     val out = df.select(VectorExprs.dotProduct(col("a"), col("b"))).collect()
     assert(out(0).isNullAt(0))
   }
+
+  test("degenerate shapes mirror the HOF fold: unequal lengths and null " +
+    "elements yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Double](1.0, 2.0, 3.0),
+        Array[java.lang.Double](1.0, 2.0)), // unequal length
+      (Array[java.lang.Double](1.0, null, 3.0),
+        Array[java.lang.Double](1.0, 2.0, 3.0)), // null element
+      (Array[java.lang.Double](1.0, 2.0),
+        Array[java.lang.Double](3.0, 4.0))) // healthy
+      .toDF("a", "b")
+    val out = df.select(
+      VectorExprs.dotProduct(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null mismatch: native=${r.get(0)} hof=${r.get(1)}")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && !out(2).isNullAt(0))
+  }
 }

@@ -50,6 +50,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         lit(1.0), (acc, v) => acc + v).as("s"))
     assert(!init.queryExecution.analyzed.toString.contains("graft_dot"))
     assert(init.collect()(0).getDouble(0) == 12.0)
+    // repeated lambda variable (sum of squares of a) — must NOT be
+    // rewritten to DotProduct(a, b)
+    val squares = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * x),
+        lit(0.0), (acc, v) => acc + v).as("s"))
+    assert(!squares.queryExecution.analyzed.toString.contains("graft_dot"))
+    assert(squares.collect()(0).getDouble(0) == 1.0 + 4.0)
+    // repeated accumulator variable — must NOT be rewritten
+    val accacc = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + acc).as("s"))
+    assert(!accacc.queryExecution.analyzed.toString.contains("graft_dot"))
   }
 
   test("graft_dot is registered as a SQL function") {
