@@ -45,17 +45,17 @@ case class LocalTopKExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    /** Bound on rows retained per map partition: beyond it, rows for NEW
+      * keys stream through unreduced — correctness is unaffected (the
+      * downstream Window recomputes exact ranks on whatever reaches it);
+      * the reduction just degrades gracefully instead of growing an
+      * unbounded in-memory map at high key cardinality. Parameterized so
+      * tests can exercise the overflow path. */
+    maxRetainedRows: Int = 1 << 20) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
-
-  /** Bound on rows retained per map partition: beyond it, rows for NEW
-    * keys stream through unreduced — correctness is unaffected (the
-    * downstream Window recomputes exact ranks on whatever reaches it);
-    * the reduction just degrades gracefully instead of growing an
-    * unbounded in-memory map at high key cardinality. */
-  private val maxRetainedRows = 1 << 20
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

@@ -56,6 +56,35 @@ class LocalTopKSpec extends AnyFunSuite {
     assert(n == users)
   }
 
+  test("cardinality overflow passes rows through; final result stays exact") {
+    import graft.plans.{LocalTopKExec}
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val childPlan = e.queryExecution.executedPlan
+    val userAttr = childPlan.output.find(_.name == "user_id").get
+    val valueAttr = childPlan.output.find(_.name == "value").get
+    val order = Seq(SortOrder(valueAttr,
+      org.apache.spark.sql.catalyst.expressions.Descending))
+    // tiny cap: with k=2, maxKeys = 4/2 = 2 tracked keys; the data has
+    // 15 users, so most rows take the pass-through path
+    val exec = LocalTopKExec(Seq(userAttr), order, k = 2,
+      child = childPlan, maxRetainedRows = 4)
+    val reduced = exec.execute().map(_.copy()).collect()
+    val total = e.count()
+    assert(reduced.length < total, "some reduction happened")
+    // every user's true top-2 by value must survive the pre-reduction
+    val schema = e.schema
+    val survived = reduced.map { r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }.toSet
+    val truth = e.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2)))
+      .groupBy(_._2).values.flatMap(_.sortBy(-_._3).take(2))
+    truth.foreach(t => assert(survived.contains(t),
+      s"top row $t lost by pre-reduction"))
+  }
+
   test("non-matching shapes are not rewritten") {
     val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
     // rank() instead of row_number — ties at the boundary make local
