@@ -177,6 +177,21 @@ object Extensions extends QueryModule {
               COUNT(*) FILTER (event_type = 'error') AS error
               FROM events GROUP BY 1""")),
 
+    // ---- Exact percentiles per group (continuous interpolation — the
+    //      same method in both engines); approx_percentile is the sketch
+    //      variant at scale.
+    Q("x14_percentiles",
+      (s, d) => events(s, d).groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 6) AS p50,
+              ROUND(quantile_cont(value, 0.9), 6) AS p90,
+              COUNT(*) AS n
+              FROM events GROUP BY 1""")),
+
     // ---- Sessionization: 30-minute-gap sessions per user — the classic
     //      lag → gap-flag → cumulative-sum session id, then per-session
     //      aggregates. One shuffle on user_id shared by both windows.

@@ -270,6 +270,43 @@ object TextOps extends QueryModule {
         expr(simhashExpr).as("simhash")),
       None),
 
+    // ---- BPE-ish regex token counting: letter-runs, digit-runs, and
+    //      single punctuation as separate tokens (the shape of a GPT-2
+    //      pre-tokenizer, in a regex dialect both engines share).
+    Q("text_bpe_tokens",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens")),
+      Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+              FROM documents""")),
+
+    // ---- Polynomial rolling hash over the token stream (Rabin-Karp
+    //      shape): h = (h·31 + h60(token)) mod 2³¹−1, order-sensitive —
+    //      unlike the md5 content hash, equal bags of words in different
+    //      orders fingerprint differently.
+    Q("doc_rolling_hash",
+      (s, d) => {
+        val p = 2147483647L
+        val tokHashes = transform(split(col("text"), " "),
+          t => PortableHashOps.h60(t) % p)
+        documents(s, d).select(col("doc_id"),
+          aggregate(tokHashes, lit(0L),
+            (acc, h) => (acc * 31 + h) % p).as("rolling_hash"))
+      },
+      Some("""SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(text, ' '), t ->
+                    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                      % 2147483647)),
+                (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+              FROM documents""")),
+
     // ---- Heavy hitters via the Space-Saving typed Aggregator: the
     //      bounded-memory frequent-tokens aggregate. With capacity ≫
     //      distinct-token count the sketch is exact, so the oracle is the
