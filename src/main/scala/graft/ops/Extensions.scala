@@ -177,6 +177,31 @@ object Extensions extends QueryModule {
               COUNT(*) FILTER (event_type = 'error') AS error
               FROM events GROUP BY 1""")),
 
+    // ---- Window value functions with explicit full-partition frames
+    //      (the default RANGE..CURRENT frame makes last_value return the
+    //      current row — the classic gotcha; both sides pin the frame).
+    Q("x15_window_values",
+      (s, d) => {
+        val ordered = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val full = ordered.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        events(s, d).select(col("event_id"), col("user_id"),
+          first(col("event_type")).over(full).as("first_type"),
+          last(col("event_type")).over(full).as("last_type"),
+          round(col("value") - first(col("value")).over(full), 6)
+            .as("drift_from_first"))
+      },
+      Some("""SELECT event_id, user_id,
+              first_value(event_type) OVER w AS first_type,
+              last_value(event_type) OVER w AS last_type,
+              ROUND(value - first_value(value) OVER w, 6)
+                AS drift_from_first
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)""")),
+
     // ---- Exact percentiles per group (continuous interpolation — the
     //      same method in both engines); approx_percentile is the sketch
     //      variant at scale.
