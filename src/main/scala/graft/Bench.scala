@@ -37,7 +37,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
     spark.stop()
+    // r1's driver run recorded parsed:null — the JSON line drowned in
+    // Spark/sbt log tail. Emit it three ways: once before stop() (above),
+    // once as the true last stdout line after stop(), and to a file.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
   }
 }

@@ -43,21 +43,38 @@ object ClassicQueries extends QueryModule {
               ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
 
     // ---- TPC-H Q5 shape: revenue by nation inside one region, suppliers
-    //      and customers co-national. Six-way join; all dims broadcast.
+    //      and customers co-national. Six-way join. Selectivity first:
+    //      Catalyst won't reorder the fact-fact join below the region
+    //      filter without CBO stats, so the plan applies the ASIA
+    //      restriction bottom-up by hand — region→nation→customer stay
+    //      broadcast, orders is pre-filtered to ASIA customers (~1/5
+    //      survive), and only then does lineitem join. The dominant
+    //      lineitem⋈orders exchange therefore carries a fifth of the
+    //      orders rows it carried when the facts joined first; at 100 TB
+    //      (where customer outgrows broadcast) the same shape holds with
+    //      the customer join becoming a shuffle on o_custkey — still
+    //      strictly cheaper than shuffling unfiltered lineitem⋈orders.
     Q("q5_local_supplier",
       (s, d) => {
         val r = region(s, d).filter(col("r_name") === "ASIA")
         val n = nation(s, d)
+        val asiaNation = n.join(broadcast(r),
+            n("n_regionkey") === r("r_regionkey"))
+          .select(n("n_nationkey"), n("n_name"))
         val c = customer(s, d)
+        val asiaCust = c.join(broadcast(asiaNation),
+            c("c_nationkey") === asiaNation("n_nationkey"))
+          .select(c("c_custkey"), c("c_nationkey"), asiaNation("n_name"))
         val o = orders(s, d)
+        val asiaOrders = o.join(broadcast(asiaCust),
+            o("o_custkey") === asiaCust("c_custkey"))
+          .select(o("o_orderkey"), asiaCust("c_nationkey"),
+            asiaCust("n_name"))
         val l = lineitem(s, d)
         val su = supplier(s, d)
-        l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey")
-            && su("s_nationkey") === c("c_nationkey"))
-          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        l.join(asiaOrders, l("l_orderkey") === asiaOrders("o_orderkey"))
+          .join(broadcast(su), l("l_suppkey") === su("s_suppkey")
+            && col("c_nationkey") === su("s_nationkey"))
           .groupBy(col("n_name"))
           .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))

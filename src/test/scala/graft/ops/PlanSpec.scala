@@ -63,6 +63,30 @@ class PlanSpec extends SparkSpec {
     assert(np.contains("graft_dot"))
   }
 
+  test("q5: orders are pre-filtered to ASIA customers before lineitem joins") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // AQE off so the executed plan is the plain tree (no QueryStageExec
+    // wrappers) and per-node metrics are reachable by collect().
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.SparkEntry.queries("q5_local_supplier")(spark, sf)
+      df.collect()
+      val bhjs = df.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }
+      // the orders⋈customer join emits o_orderkey but no lineitem columns
+      val preFilter = bhjs.filter(b =>
+        b.output.exists(_.name == "o_orderkey") &&
+          !b.output.exists(_.name.startsWith("l_")))
+      assert(preFilter.nonEmpty,
+        df.queryExecution.executedPlan.toString.take(1500))
+      val outRows = preFilter.map(_.metrics("numOutputRows").value).min
+      val totalOrders = graft.Tables.orders(spark, sf).count()
+      assert(outRows < totalOrders * 0.4,
+        s"ASIA pre-filter should cut orders ~5x: $outRows of $totalOrders")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("a2 scale variant: approx_count_distinct plans without expand") {
     import org.apache.spark.sql.functions._
     val li = graft.Tables.lineitem(spark, sf)
