@@ -19,20 +19,32 @@ import scala.collection.mutable
   */
 object TopKFreq {
 
-  /** Mutable sketch state: item → (count, possible over-estimate). */
+  /** Mutable sketch state: item → (count, possible over-estimate).
+    *
+    * `floor` makes merge-pruning safe: when a capacity-overflow merge
+    * drops low counters, the largest dropped count is folded into the
+    * floor, and any later (re-)insertion starts at floor+1 with floor as
+    * its error. A dropped-then-reinserted item therefore can never
+    * UNDER-estimate its true count — the sketch keeps the Space-Saving
+    * invariant (true ≤ count ≤ true + error) across merges; items with
+    * error 0 are exact. */
   final class SpaceSaving(val capacity: Int) extends Serializable {
     val counts = new mutable.HashMap[String, Long]
     val errors = new mutable.HashMap[String, Long]
+    var floor: Long = 0L
 
     def add(item: String): Unit = {
       counts.get(item) match {
         case Some(c) => counts.update(item, c + 1)
         case None if counts.size < capacity =>
-          counts.update(item, 1L); errors.update(item, 0L)
+          counts.update(item, floor + 1L); errors.update(item, floor)
         case None =>
           // evict the current minimum (deterministic tie-break by item);
-          // the newcomer inherits count+1 with that count as its error
-          val (minItem, minCount) = counts.minBy(p => (p._2, p._1))
+          // the newcomer inherits count+1 with that count as its error.
+          // The floor guard covers post-merge states where an item from
+          // a lower-floor sketch is the current minimum.
+          val (minItem, minCount0) = counts.minBy(p => (p._2, p._1))
+          val minCount = math.max(minCount0, floor)
           counts.remove(minItem); errors.remove(minItem)
           counts.update(item, minCount + 1)
           errors.update(item, minCount)
@@ -40,14 +52,17 @@ object TopKFreq {
     }
 
     def mergeWith(other: SpaceSaving): SpaceSaving = {
+      floor = math.max(floor, other.floor)
       other.counts.foreach { case (item, c) =>
         counts.update(item, counts.getOrElse(item, 0L) + c)
         errors.update(item,
           errors.getOrElse(item, 0L) + other.errors.getOrElse(item, 0L))
       }
       if (counts.size > capacity) {
-        val keep = counts.toSeq.sortBy(p => (-p._2, p._1)).take(capacity)
-          .map(_._1).toSet
+        val sorted = counts.toSeq.sortBy(p => (-p._2, p._1))
+        val keep = sorted.take(capacity).map(_._1).toSet
+        // dropped mass is accounted in the floor, not silently lost
+        floor = math.max(floor, sorted.drop(capacity).head._2)
         counts.filterInPlace { case (i, _) => keep(i) }
         errors.filterInPlace { case (i, _) => keep(i) }
       }

@@ -58,19 +58,32 @@ object Tsv {
   def readRouted(spark: SparkSession, dir: String, tableToken: String,
       schema: StructType): DataFrame =
     read(spark, dir, schema)
-      .where(input_file_name().rlike(s".*$tableToken.*"))
+      // quote the token: a table name containing regex metacharacters
+      // must match literally, not as a pattern
+      .where(input_file_name()
+        .rlike(".*" + java.util.regex.Pattern.quote(tableToken) + ".*"))
 
-  /** S3 (file granularity) — a malformed file is skipped, not fatal:
-    * per-file Try, unioning the readable ones. */
+  /** S3 (file granularity) — a malformed file is skipped, not fatal.
+    * ON_ERROR='skip_file' skips on an error ANYWHERE in the file, so the
+    * whole file must parse before it counts as good. Single-pass: each
+    * file is parsed permissively ONCE into cache; the corrupt-row probe
+    * materializes that cache, and the returned union reads from it — no
+    * second parse of good files (r1 probed FAILFAST then re-read, paying
+    * the parse twice). Callers that fully consume the result may
+    * `unpersist` it afterwards. */
   def readSkippingBadFiles(spark: SparkSession, files: Seq[String],
       schema: StructType): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.col
     val attempts = files.map(f => f -> Try {
-      val df = read(spark, f, schema, permissive = false)
-      // Full-file parse probe: ON_ERROR='skip_file' skips on an error
-      // ANYWHERE in the file, so probing just the first row is not
-      // enough. The re-read on success is cheap relative to the load.
-      df.foreach(_ => ())
-      df
+      val df = read(spark, f, schema, permissive = true).cache()
+      try {
+        // count() (not limit(1)) so the probe materializes whole cached
+        // partitions — a short-circuited probe would leave partitions
+        // uncached and downstream reads would re-parse.
+        if (df.filter(col("_corrupt_record").isNotNull).count() > 0)
+          throw new IllegalArgumentException(s"malformed rows in $f")
+        df.drop("_corrupt_record")
+      } catch { case e: Throwable => df.unpersist(); throw e }
     })
     val good = attempts.collect { case (_, scala.util.Success(df)) => df }
     val bad = attempts.collect { case (f, scala.util.Failure(_)) => f }
@@ -114,7 +127,10 @@ object Tsv {
     if (!Files.isDirectory(dir)) return Nil
     val cutoff = today.minusDays(retentionDays.toLong)
     val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
-    Files.list(dir).iterator().asScala.toSeq.flatMap { p =>
+    val listing = scala.util.Using(Files.list(dir)) {
+      _.iterator().asScala.toSeq
+    }.get // close the stream: daily sweeps must not leak descriptors
+    listing.flatMap { p =>
       fileDateToken(p.getFileName.toString).flatMap { d =>
         val fileDate = Try(java.time.LocalDate.parse(d, fmt)).toOption
         if (fileDate.exists(_.isBefore(cutoff))) {

@@ -96,7 +96,10 @@ object Pipeline {
     * filename contract with retention via Tsv.fileDateToken. */
   def latestFile(dir: Path, tableToken: String): Option[Path] = {
     if (!Files.isDirectory(dir)) return None
-    Files.list(dir).iterator().asScala.toSeq
+    val listing = scala.util.Using(Files.list(dir)) {
+      _.iterator().asScala.toSeq
+    }.get // close the stream: repeated selection must not leak descriptors
+    listing
       .filter(_.getFileName.toString.contains(tableToken))
       .flatMap(p => Tsv.fileDateToken(p.getFileName.toString).map(_ -> p))
       .sortBy(_._1).lastOption.map(_._2)

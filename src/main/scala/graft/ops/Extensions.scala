@@ -53,6 +53,25 @@ object Extensions extends QueryModule {
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
 
+    // ---- rank() <= k per key: the LocalTopK RankMode pre-reduce fires
+    //      (boundary tie-classes kept whole, so the row set is exact and
+    //      deterministic — tied rows share a rank). At scale this turns
+    //      the full-partition window shuffle into ≤(k+ties) rows per key
+    //      per map task.
+    Q("x16_rank_topk",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("event_type"))
+        events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .withColumn("r", rank().over(w))
+          .filter(col("r") <= 2)
+      },
+      Some("""SELECT * FROM (
+              SELECT event_id, user_id, event_type,
+                     rank() OVER (PARTITION BY user_id ORDER BY event_type)
+                       AS r
+              FROM events) WHERE r <= 2""")),
+
     // ---- Semi join: customers WITH orders in a window (EXISTS shape —
     //      no fan-out, build side broadcastable when small).
     Q("j7_semi_join",

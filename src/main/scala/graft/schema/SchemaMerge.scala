@@ -114,6 +114,31 @@ object SchemaMerge {
     }.toSeq
   }
 
+  /** Parse schema from existing DDL *text* (the reference's
+    * parse_existing_schema DDL path, generate_snowflake_ddl.py:243-254):
+    * strip line (`--`) and block (slash-star) comments, then take every
+    * `<name> <TYPE[(n)]>` pair terminated by `,` or `)`. This lets a
+    * pre-existing `.sql` file seed the widening lattice, same as the JSON
+    * dump. The leading `CREATE OR REPLACE TABLE <name> (` never matches:
+    * the table name is followed by `(`, not `,`/`)`. */
+  def parseDdl(ddl: String): Schema = {
+    val stripped = ddl.replaceAll("(?s)--.*?(\n|$)", " ")
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+    val colPat = """(?i)(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)\s*[,)]""".r
+    colPat.findAllMatchIn(stripped).map { m =>
+      ColumnSpec(m.group(1).toUpperCase,
+        parseType(m.group(2).replaceAll("\\s+", "")))
+    }.toSeq
+  }
+
+  /** The reference's source-priority rule (generate_snowflake_ddl.py:
+    * 221-258): a JSON dump wins over DDL text; absent both → empty (the
+    * widen() caller then treats the new schema as first-write). */
+  def parseExisting(json: Option[String], ddl: Option[String]): Schema =
+    json.map(parseJson).filter(_.nonEmpty)
+      .orElse(ddl.map(parseDdl))
+      .getOrElse(Nil)
+
   private val VarcharPat = """VARCHAR\((\d+)\)""".r
   def parseType(t: String): SfType = t.toUpperCase.trim match {
     case "INTEGER" => SfInteger

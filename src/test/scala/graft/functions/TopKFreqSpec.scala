@@ -40,4 +40,36 @@ class TopKFreqSpec extends SparkSpec {
     assert(top.head._1 == exact.getString(0))
     assert(top.head._2 == exact.getLong(1)) // exact for true heavy hitter
   }
+
+  test("overflow merges never underestimate (capacity < distinct)") {
+    // capacity far below the distinct count across partitions forces
+    // capacity-overflow merges; the floor must keep every reported count
+    // an over-estimate bounded by its error field.
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(250)("beta")
+    val tail = (1 to 300).flatMap(i => Seq.fill(3)(s"tail$i")) // 300 distinct
+    val data = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(heavy ++ tail)
+    val exact: Map[String, Long] =
+      data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+    // drive the sketches directly so the partition split is deterministic
+    val partitions = data.grouped(120).toSeq
+    val merged = partitions.map { part =>
+      val s = new TopKFreq.SpaceSaving(32)
+      part.foreach(s.add)
+      s
+    }.reduce(_ mergeWith _)
+
+    assert(merged.counts.size <= 32)
+    merged.counts.foreach { case (item, count) =>
+      val err = merged.errors(item)
+      assert(count >= exact(item),
+        s"$item underestimated: sketch=$count exact=${exact(item)}")
+      assert(count - err <= exact(item),
+        s"$item error bound broken: count=$count err=$err exact=${exact(item)}")
+    }
+    // the two real heavy hitters must survive every prune
+    val top2 = merged.top(2).map(_._1)
+    assert(top2 == Seq("alpha", "beta"))
+  }
 }

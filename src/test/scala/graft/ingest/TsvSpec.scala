@@ -57,6 +57,11 @@ class TsvSpec extends SparkSpec {
       BlockchairSchemas.blocks)
     assert(skipped == Seq(bad.toString))
     assert(df.count() == 3)
+    // single-pass contract: downstream consumption reads the cached
+    // parse, not a second file scan
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("InMemoryRelation"))
+    spark.catalog.clearCache()
     Files.delete(bad)
   }
 

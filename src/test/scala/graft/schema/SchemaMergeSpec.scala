@@ -129,4 +129,48 @@ class SchemaMergeProps extends AnyFunSuite {
       else assert(r == Identical)
     }
   }
+
+  test("DDL text round-trips: renderDdl → parseDdl → widen is Identical") {
+    val schema = Seq(
+      ColumnSpec("ID", SfInteger), ColumnSpec("HASH", SfVarchar(64)),
+      ColumnSpec("TIME", SfTimestamp), ColumnSpec("FEE", SfFloat),
+      ColumnSpec("IS_COINBASE", SfBoolean), ColumnSpec("DAY", SfDate))
+    val parsed = parseDdl(renderDdl("blocks", schema))
+    assert(parsed == schema)
+    assert(widen(parsed, schema) == Identical)
+  }
+
+  test("parseDdl seeds the widening gate from a pre-existing .sql file") {
+    val preExisting =
+      """-- generated earlier; comments and spacing are hostile
+        |CREATE OR REPLACE TABLE txs (
+        |    ID INTEGER,          -- surrogate key
+        |    HASH VARCHAR ( 64 ), /* block
+        |                            hash */
+        |    SEEN DATE
+        |);""".stripMargin
+    val old = parseDdl(preExisting)
+    assert(old == Seq(ColumnSpec("ID", SfInteger),
+      ColumnSpec("HASH", SfVarchar(64)), ColumnSpec("SEEN", SfDate)))
+    // a wider incoming schema replaces; a narrower one is rejected
+    val wider = Seq(ColumnSpec("ID", SfInteger),
+      ColumnSpec("HASH", SfVarchar(128)), ColumnSpec("SEEN", SfTimestamp))
+    assert(widen(old, wider).isInstanceOf[Replace])
+    val narrower = Seq(ColumnSpec("HASH", SfVarchar(32)))
+    assert(widen(old, narrower).isInstanceOf[Rejected])
+  }
+
+  test("parseDdl ignores the CREATE ... TABLE header and trailing ;") {
+    val parsed = parseDdl("CREATE OR REPLACE TABLE t (A INTEGER, B FLOAT);")
+    assert(parsed == Seq(ColumnSpec("A", SfInteger), ColumnSpec("B", SfFloat)))
+  }
+
+  test("parseExisting: JSON dump wins over DDL text; absent both → empty") {
+    val json = renderJson(Seq(ColumnSpec("A", SfInteger)))
+    val ddl = renderDdl("t", Seq(ColumnSpec("B", SfFloat)))
+    assert(parseExisting(Some(json), Some(ddl)) ==
+      Seq(ColumnSpec("A", SfInteger)))
+    assert(parseExisting(None, Some(ddl)) == Seq(ColumnSpec("B", SfFloat)))
+    assert(parseExisting(None, None).isEmpty)
+  }
 }
