@@ -107,6 +107,22 @@ object Tsv {
       .write.mode("append").partitionBy("load_date").parquet(outDir)
   }
 
+  /** Idempotent landing: dynamic partition overwrite replaces ONLY this
+    * load_date's partition, so re-running a day (skip-existing fetch →
+    * same input) converges instead of appending duplicates. */
+  def landToParquetIdempotent(df: DataFrame, loadDate: String,
+      outDir: String, sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    sorted.withColumn("load_date", lit(loadDate))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("load_date").parquet(outDir)
+  }
+
   /** The dump filename contract: `..._{YYYYMMDD}.tsv[.gz]`
     * (download_blockchair_data.py:235). Single source — retention,
     * latest-file selection, and routing all parse the same token. */

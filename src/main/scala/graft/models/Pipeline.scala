@@ -113,4 +113,58 @@ object Pipeline {
     if (missing.nonEmpty) Left(s"missing raw dumps: ${missing.mkString(", ")}")
     else Right(())
   }
+
+  /** What one [[dailyRun]] did, per table type. */
+  final case class DailyRunReport(
+      fetched: Map[String, graft.ingest.Fetch.Result],
+      landedRows: Map[String, Long],
+      swept: Seq[Path])
+
+  /** M1+S4+S5 — one day's ingest, the reference pipeline script's outer
+    * loop (download_blockchair_data.py main + load_data_to_snowflake.sh):
+    * fetch each configured type (skip-existing → reruns are idempotent),
+    * land every successfully fetched file into date-partitioned Parquet,
+    * then retention-sweep the raw dirs. A type whose fetch fails is
+    * reported, not fatal — the reference logs and continues; the caller
+    * decides whether a partial day blocks the model build (M7 preflight
+    * does exactly that check).
+    *
+    * Transport and clock are injectable so the whole flow tests offline.
+    */
+  def dailyRun(spark: SparkSession,
+      cfg: graft.ingest.FetchConfig.DownloadConfig,
+      coin: String, date: java.time.LocalDate, parquetDir: String,
+      open: String => java.io.InputStream = graft.ingest.Fetch.openHttp,
+      sleep: Long => Unit = Thread.sleep): DailyRunReport = {
+    import graft.ingest.{Fetch, Tsv}
+    import org.apache.spark.sql.functions.col
+    val schemas = Map(
+      "blocks" -> BlockchairSchemas.blocks,
+      "transactions" -> BlockchairSchemas.transactions,
+      "inputs" -> BlockchairSchemas.inputs,
+      "outputs" -> BlockchairSchemas.outputs,
+      "addresses" -> BlockchairSchemas.addresses)
+    val fetched = Fetch.fetchDaily(cfg.baseUrl, coin, cfg.dataTypes, date,
+      cfg.destinationDir, skipExisting = true, open = open, sleep = sleep)
+    val dateToken = date.format(
+      java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    val landed = fetched.collect {
+      case (t, Fetch.Downloaded | Fetch.SkippedExisting)
+          if schemas.contains(t) =>
+        val typeDir = cfg.destinationDir.resolve(t)
+        val file = latestFile(typeDir, t)
+          .getOrElse(sys.error(s"fetched $t but no file in $typeDir"))
+        val df = Tsv.read(spark, file.toString, schemas(t))
+          .drop("_corrupt_record")
+        Tsv.landToParquetIdempotent(df, dateToken, s"$parquetDir/$t",
+          sortCols = Seq.empty)
+        t -> spark.read.parquet(s"$parquetDir/$t")
+          .where(col("load_date") === dateToken).count()
+    }
+    val swept = cfg.dataTypes.flatMap { t =>
+      Tsv.retentionSweep(cfg.destinationDir.resolve(t), cfg.retentionDays,
+        date)
+    }
+    DailyRunReport(fetched, landed, swept)
+  }
 }

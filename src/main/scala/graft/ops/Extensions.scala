@@ -72,6 +72,57 @@ object Extensions extends QueryModule {
                        AS r
               FROM events) WHERE r <= 2""")),
 
+    // ---- ntile: equal-depth bucketing per key (quartiles of each
+    //      user's event history). Deterministic under the total order
+    //      (ts, event_id). Same single-exchange window shape as w2.
+    Q("x17_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"),
+          col("event_id"))
+        events(s, d).select(col("event_id"), col("user_id"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT event_id, user_id,
+              ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS quartile
+              FROM events""")),
+
+    // ---- Unpivot (wide→long melt): per-lineitem measures to rows. The
+    //      relational dual of x7_pivot; a narrow Expand, no shuffle.
+    Q("x18_unpivot",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "val"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val
+              FROM (SELECT l_orderkey, l_linenumber,
+                      CAST(l_quantity AS DOUBLE) AS quantity,
+                      CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                      CAST(l_discount AS DOUBLE) AS discount
+                    FROM lineitem)
+              UNPIVOT (val FOR measure IN (quantity, extendedprice,
+                discount))""")),
+
+    // ---- Ordered set aggregation: collect_list is unordered by
+    //      contract, so the deterministic form sorts the collected array
+    //      before joining — same discipline the oracle applies.
+    Q("x19_sorted_collect",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_list(col("event_type"))), ",")
+          .as("types_csv"),
+          count(lit(1)).as("n")),
+      Some("""SELECT user_id,
+              array_to_string(list_sort(list(event_type)), ',')
+                AS types_csv,
+              COUNT(*) AS n
+              FROM events GROUP BY user_id""")),
+
     // ---- Semi join: customers WITH orders in a window (EXISTS shape —
     //      no fan-out, build side broadcastable when small).
     Q("j7_semi_join",
