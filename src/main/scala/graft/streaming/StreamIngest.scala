@@ -85,6 +85,29 @@ object StreamIngest {
       .select(col("user_id"), col("sess.start").as("sess_start"),
         col("sess.end").as("sess_end"), col("n_events"))
 
+  /** Stream-static enrich: per-micro-batch dimension lookup. The static
+    * side is planned fresh each batch (so a slowly-changing dim picks up
+    * between batches) and explicitly broadcast — at 100 TB/day stream
+    * volume the dim join must never shuffle the stream. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream inner join with bounded state: both sides carry
+    * watermarks and the join condition carries an event-time band, so
+    * Spark can evict buffered rows that can never match again. Without
+    * the band the state grows forever — the band IS the scale contract. */
+  def joinStreamsWithinBand(left: DataFrame, leftTimeCol: String,
+      right: DataFrame, rightTimeCol: String, key: String,
+      watermark: String, band: String): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, watermark)
+    val r = right.withWatermark(rightTimeCol, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTimeCol) >= l(leftTimeCol) &&
+        r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $band"))
+  }
+
   /** Write a streaming frame to an in-memory sink (tests / dashboards). */
   def toMemorySink(df: DataFrame, queryName: String,
       outputMode: String): DataStreamWriter[Row] =

@@ -72,6 +72,69 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_events") >= 1))
   }
 
+  test("stream-static enrich broadcasts the dim, left keys preserved") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream5")
+    Fixtures.writeAll(dir)
+    val inputs = StreamIngest.readTsvStream(spark, dir.toString + "/*inputs*",
+      BlockchairSchemas.inputs)
+    val stream = Models.stgInputs(inputs)
+      .selectExpr("recipient", "value_sats")
+      .filter("recipient IS NOT NULL")
+    val dim = Seq(("addrA", "exchange"), ("addrC", "miner"))
+      .toDF("recipient", "label")
+    val enriched = StreamIngest.enrichWithDim(stream, dim, "recipient")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT recipient, label FROM enriched").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows("addrA").contains("exchange"))
+    assert(rows("addrC").contains("miner"))
+    // left join: unmatched stream rows survive with a null label
+    assert(rows.exists(_._2.isEmpty))
+  }
+
+  test("stream-stream join within an event-time band (bounded state)") {
+    val dir = Files.createTempDirectory("graft-stream6")
+    Fixtures.writeAll(dir)
+    val inputs = Models.stgInputs(StreamIngest.readTsvStream(spark,
+      dir.toString + "/*inputs*", BlockchairSchemas.inputs))
+      .selectExpr("transaction_hash", "time AS in_time",
+        "value_sats AS in_sats")
+    val outputs = Models.stgOutputs(StreamIngest.readTsvStream(spark,
+      dir.toString + "/*outputs*", BlockchairSchemas.outputs))
+      .selectExpr("transaction_hash", "time AS out_time",
+        "value_sats AS out_sats")
+    val joined = StreamIngest.joinStreamsWithinBand(
+      inputs, "in_time", outputs, "out_time", "transaction_hash",
+      watermark = "1 day", band = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val n = spark.sql("SELECT COUNT(*) FROM ss_join").collect()(0).getLong(0)
+    // batch reference: same join, same band, on the static frames
+    val bIn = graft.ingest.Tsv.read(spark,
+      dir.resolve("blockchair_bitcoin_inputs_20250820.tsv").toString,
+      BlockchairSchemas.inputs)
+    val bOut = graft.ingest.Tsv.read(spark,
+      dir.resolve("blockchair_bitcoin_outputs_20250820.tsv").toString,
+      BlockchairSchemas.outputs)
+    val expected = Models.stgInputs(bIn).selectExpr("transaction_hash",
+        "time AS in_time")
+      .join(Models.stgOutputs(bOut).selectExpr(
+        "transaction_hash AS th2", "time AS out_time"),
+        org.apache.spark.sql.functions.expr(
+          "transaction_hash = th2 AND out_time >= in_time AND " +
+            "out_time <= in_time + INTERVAL 1 hour"))
+      .count()
+    assert(n == expected && n > 0)
+  }
+
   test("stateful running flow with mapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-stream2")
     Fixtures.writeAll(dir)
