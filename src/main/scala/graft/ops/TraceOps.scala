@@ -8,14 +8,21 @@ import graft.Tables._
   * (app.py:339-366: `WITH RECURSIVE trace_path`, hop cap, per-hop window
   * filter; app.py:380-383: OOM fallback to 1 hop).
   *
-  * Spark has no recursive CTE operator in the DataFrame API, so the
-  * transitive closure is a driver-side bounded loop of equi-joins — the
-  * loop count (maxHops ≤ 3) is tiny and static, while every join inside it
-  * is fully distributed. The edge set is deduplicated once up front and
-  * broadcast when small; each frontier is the previous frontier joined to
-  * the edges (path multiplicity preserved, matching UNION ALL semantics).
+  * The DataFrame API has no recursive operator, so the transitive closure
+  * is a driver-side bounded loop of equi-joins — the loop count
+  * (maxHops ≤ 3) is tiny and static, while every join inside it is fully
+  * distributed. The edge set is deduplicated once up front and broadcast
+  * when small; each frontier is the previous frontier joined to the edges
+  * (path multiplicity preserved, matching UNION ALL semantics).
   * `localCheckpoint` would cut lineage for deep traversals; at hop ≤ 3 the
   * lineage is shallow enough to skip it.
+  *
+  * Spark 4's SQL engine does support `WITH RECURSIVE` (UnionLoop
+  * execution): `j9_trace_recursive_cte` runs the reference's own CTE text
+  * natively and is oracle-checked against the same DuckDB SQL — the
+  * fixed-point operator the engine drives itself, vs the loop the library
+  * drives. Both shapes are kept: the loop gives per-hop control (dedup,
+  * checkpoint, hop-1 fallback) that the black-box fixed point does not.
   *
   * At 100 TB the edge table does not fit in a broadcast: the same loop
   * holds with the edges bucketed/partitioned by `src` so each hop is a
@@ -64,6 +71,35 @@ object TraceOps extends QueryModule {
   def all: Seq[Q] = Seq(
     Q("j5_trace_recursive",
       (s, d) => trace(edgeSet(s, d), source = 7L, maxHops = 3),
+      Some("""WITH RECURSIVE edges AS (
+                SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
+                FROM events),
+              trace_path AS (
+                SELECT src, dst, 1 AS hop FROM edges WHERE src = 7
+                UNION ALL
+                SELECT e.src, e.dst, t.hop + 1
+                FROM trace_path t JOIN edges e ON t.dst = e.src
+                WHERE t.hop < 3)
+              SELECT hop, src, dst, COUNT(*) AS paths
+              FROM trace_path GROUP BY 1, 2, 3""")),
+
+    // The same traversal as j5 through Spark's native recursive CTE —
+    // the SQL text is (modulo the view name) the oracle's own.
+    Q("j9_trace_recursive_cte",
+      (s, d) => {
+        events(s, d).createOrReplaceTempView("graft_events_cte")
+        s.sql("""WITH RECURSIVE edges AS (
+                   SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
+                   FROM graft_events_cte),
+                 trace_path AS (
+                   SELECT src, dst, 1 AS hop FROM edges WHERE src = 7
+                   UNION ALL
+                   SELECT e.src, e.dst, t.hop + 1
+                   FROM trace_path t JOIN edges e ON t.dst = e.src
+                   WHERE t.hop < 3)
+                 SELECT hop, src, dst, COUNT(*) AS paths
+                 FROM trace_path GROUP BY 1, 2, 3""")
+      },
       Some("""WITH RECURSIVE edges AS (
                 SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
                 FROM events),

@@ -80,4 +80,18 @@ class TraceSpec extends SparkSpec {
     assert(r.columns.contains("block_hash"))
     assert(r.count() == 3)
   }
+
+  test("J5/J9: driver-loop trace ≡ native WITH RECURSIVE (path counts)") {
+    val sf = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("hop", "src", "dst", "CAST(paths AS BIGINT) AS paths")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    val loop = canon(graft.SparkEntry
+      .queries("j5_trace_recursive")(spark, sf))
+    val cte = canon(graft.SparkEntry
+      .queries("j9_trace_recursive_cte")(spark, sf))
+    assert(loop == cte)
+    assert(loop.nonEmpty)
+  }
 }
