@@ -72,6 +72,49 @@ object Extensions extends QueryModule {
                        AS r
               FROM events) WHERE r <= 2""")),
 
+    // ---- Explicit GROUPING SETS with grouping() markers — the general
+    //      form behind x2's ROLLUP / x9's CUBE; the Dataset API stops at
+    //      rollup/cube so this goes through spark.sql. grouping() is cast
+    //      to INT on both engines (Spark emits TINYINT, DuckDB BIGINT).
+    Q("x20_grouping_sets",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_gs")
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                   COUNT(*) AS n
+                 FROM graft_orders_gs
+                 GROUP BY GROUPING SETS ((o_orderstatus),
+                   (o_orderpriority), ())""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+              CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+              COUNT(*) AS n
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus),
+                (o_orderpriority), ())""")),
+
+    // ---- Array-function suite over tokenized text: distinct count,
+    //      membership, deterministic head slice. All per-row — no
+    //      shuffle, whole-stage codegen.
+    Q("x21_array_funcs",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          array_contains(col("toks"), "the").as("has_the"),
+          array_join(slice(sort_array(array_distinct(col("toks"))), 1, 3),
+            ",").as("first3")),
+      Some("""SELECT doc_id,
+              CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+                AS n_distinct,
+              list_contains(string_split(text, ' '), 'the') AS has_the,
+              array_to_string(
+                list_sort(list_distinct(string_split(text, ' ')))[1:3],
+                ',') AS first3
+              FROM documents""")),
+
     // ---- ntile: equal-depth bucketing per key (quartiles of each
     //      user's event history). Deterministic under the total order
     //      (ts, event_id). Same single-exchange window shape as w2.
