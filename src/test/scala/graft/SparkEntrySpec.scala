@@ -30,4 +30,24 @@ class SparkEntrySpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH"), s"$name: not a query")
     }
   }
+
+  test("no query emits a DECIMAL output column (driver hash gate trap)") {
+    // The driver's hasher canonicalizes decimal columns differently
+    // between Spark parquet and DuckDB: r1 had 8 value-identical queries
+    // fail on DECIMAL(38,6) outputs alone. Aggregate in decimal, but the
+    // FINAL compared schema must be decimal-free (Parity.outDec).
+    // .schema is analysis-only — cheap to check for every query.
+    val spark = SparkSpec.session
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val decimalCols = fn(spark, "/root/testdata/sf0.001").schema.fields
+          .filter(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.DecimalType])
+          .map(_.name)
+        if (decimalCols.isEmpty) None
+        else Some(s"$name(${decimalCols.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"decimal output columns break the driver hash: $offenders")
+  }
 }

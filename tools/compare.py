@@ -42,6 +42,18 @@ def main(sfdir, outdir):
             results[name] = "NO_OUTPUT"
             continue
         ours = con.execute(f"SELECT * FROM '{path}/*.parquet'").fetchdf()
+        # The driver's hasher canonicalizes DECIMAL columns differently
+        # between Spark parquet and DuckDB (r1: 8 value-identical queries
+        # hash-failed on decimal outputs alone). This local gate compares
+        # values and would NOT catch that — flag decimal outputs loudly.
+        dec_cols = [c for c in con.execute(
+            f"DESCRIBE SELECT * FROM '{path}/*.parquet'").fetchall()
+            if "DECIMAL" in c[1].upper()]
+        if dec_cols:
+            print(f"WARN  {name}: DECIMAL output column(s) "
+                  f"{[c[0] for c in dec_cols]} — the DRIVER hash gate "
+                  f"will likely fail even if values match; cast finals "
+                  f"to DOUBLE (ops/Parity)")
         if name not in oracle:
             results[name] = f"ROWS_ONLY({len(ours)})"
             continue
