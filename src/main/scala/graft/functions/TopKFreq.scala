@@ -52,12 +52,25 @@ object TopKFreq {
     }
 
     def mergeWith(other: SpaceSaving): SpaceSaving = {
-      floor = math.max(floor, other.floor)
+      // An item absent from one side may still have been seen (and
+      // pruned) in that side's stream — its unseen true count is bounded
+      // by that side's floor. Charging the absent side's floor to both
+      // count and error keeps the invariant true <= count <= true+error
+      // across merges (the overestimate is the price of mergeability).
+      val thisFloor = floor
+      val seenInOther = other.counts.keySet
       other.counts.foreach { case (item, c) =>
-        counts.update(item, counts.getOrElse(item, 0L) + c)
+        val base = counts.getOrElse(item, thisFloor)
+        counts.update(item, base + c)
         errors.update(item,
-          errors.getOrElse(item, 0L) + other.errors.getOrElse(item, 0L))
+          errors.getOrElse(item, thisFloor) + other.errors.getOrElse(item, 0L))
       }
+      counts.keysIterator.filterNot(seenInOther).toSeq.foreach { item =>
+        counts.update(item, counts(item) + other.floor)
+        errors.update(item, errors(item) + other.floor)
+      }
+      // an item absent from BOTH sides could have up to floorA + floorB
+      floor = thisFloor + other.floor
       if (counts.size > capacity) {
         val sorted = counts.toSeq.sortBy(p => (-p._2, p._1))
         val keep = sorted.take(capacity).map(_._1).toSet

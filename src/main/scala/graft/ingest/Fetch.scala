@@ -70,16 +70,21 @@ object Fetch {
         try {
           if (out.getParent != null) Files.createDirectories(out.getParent)
           val tmp = out.resolveSibling(out.getFileName.toString + ".part")
-          val os = Files.newOutputStream(tmp)
           try {
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) {
-              if (n > 0) os.write(buf, 0, n)
-              n = in.read(buf)
-            }
-          } finally os.close()
-          Files.move(tmp, out, StandardCopyOption.REPLACE_EXISTING)
+            val os = Files.newOutputStream(tmp)
+            try {
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n >= 0) {
+                if (n > 0) os.write(buf, 0, n)
+                n = in.read(buf)
+              }
+            } finally os.close()
+            Files.move(tmp, out, StandardCopyOption.REPLACE_EXISTING)
+          } catch { case e: Throwable =>
+            Files.deleteIfExists(tmp) // no orphaned .part on failure
+            throw e
+          }
           return Downloaded
         } finally in.close()
       } catch {

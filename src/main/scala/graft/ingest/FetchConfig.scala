@@ -29,7 +29,10 @@ object FetchConfig {
 
   /** `${VAR}` / `${VAR:-default}` substitution on one string value
     * (download_blockchair_data.py:122-127). Only whole-value references
-    * substitute, matching the reference. */
+    * substitute, matching the reference. The default applies when the
+    * variable is unset OR set-but-empty — shell `:-` semantics, which
+    * the syntax promises (the reference only defaults on unset, then
+    * errors confusingly on empty). */
   private[ingest] def substituteEnv(value: String, env: Map[String, String],
       key: String, required: Boolean): Either[String, String] = {
     if (!(value.startsWith("${") && value.endsWith("}"))) return Right(value)
@@ -38,10 +41,11 @@ object FetchConfig {
       case Array(v, d) => (v, Some(d))
       case Array(v) => (v, None)
     }
-    val resolved = env.getOrElse(envVar, default.getOrElse(""))
+    val resolved = env.get(envVar).filter(_.nonEmpty)
+      .orElse(default).getOrElse("")
     if (resolved.isEmpty && required)
-      Left(s"environment variable $envVar not set and no default " +
-        s"provided (for required key '$key')")
+      Left(s"environment variable $envVar is unset or empty and no " +
+        s"default provided (for required key '$key')")
     else Right(resolved)
   }
 

@@ -118,6 +118,9 @@ object Pipeline {
   final case class DailyRunReport(
       fetched: Map[String, graft.ingest.Fetch.Result],
       landedRows: Map[String, Long],
+      /** Types whose fetched file contained malformed rows — skipped
+        * whole (ON_ERROR='skip_file' parity), never landed. */
+      skippedCorrupt: Seq[String],
       swept: Seq[Path])
 
   /** M1+S4+S5 — one day's ingest, the reference pipeline script's outer
@@ -148,23 +151,35 @@ object Pipeline {
       cfg.destinationDir, skipExisting = true, open = open, sleep = sleep)
     val dateToken = date.format(
       java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
-    val landed = fetched.collect {
+    val attempts = fetched.toSeq.collect {
       case (t, Fetch.Downloaded | Fetch.SkippedExisting)
           if schemas.contains(t) =>
-        val typeDir = cfg.destinationDir.resolve(t)
-        val file = latestFile(typeDir, t)
-          .getOrElse(sys.error(s"fetched $t but no file in $typeDir"))
-        val df = Tsv.read(spark, file.toString, schemas(t))
-          .drop("_corrupt_record")
-        Tsv.landToParquetIdempotent(df, dateToken, s"$parquetDir/$t",
-          sortCols = Seq.empty)
-        t -> spark.read.parquet(s"$parquetDir/$t")
-          .where(col("load_date") === dateToken).count()
+        // land THIS date's file, by its contract name — not latestFile:
+        // a backfill/rerun of a past day must not land a newer dump
+        // under the old load_date
+        val url = Tsv.dailyFileUrl(cfg.baseUrl, coin, t, date)
+        val fileName = url.substring(url.lastIndexOf('/') + 1)
+        val file = cfg.destinationDir.resolve(t).resolve(fileName)
+        // whole-file parse gate (ON_ERROR='skip_file' parity): a
+        // truncated/garbled download must not land null-padded rows
+        // (the probe cache stays — it is exactly the day's raw working
+        // set, and readSkippingBadFiles unpersists rejected files)
+        val (df, bad) = Tsv.readSkippingBadFiles(spark,
+          Seq(file.toString), schemas(t))
+        if (bad.nonEmpty) Left(t)
+        else {
+          Tsv.landToParquetIdempotent(df, dateToken, s"$parquetDir/$t",
+            sortCols = Seq.empty)
+          Right(t -> spark.read.parquet(s"$parquetDir/$t")
+            .where(col("load_date") === dateToken).count())
+        }
     }
+    val landed = attempts.collect { case Right(kv) => kv }.toMap
+    val corrupt = attempts.collect { case Left(t) => t }.sorted
     val swept = cfg.dataTypes.flatMap { t =>
       Tsv.retentionSweep(cfg.destinationDir.resolve(t), cfg.retentionDays,
         date)
     }
-    DailyRunReport(fetched, landed, swept)
+    DailyRunReport(fetched, landed, corrupt, swept)
   }
 }

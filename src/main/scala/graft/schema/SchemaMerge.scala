@@ -125,9 +125,13 @@ object SchemaMerge {
     val stripped = ddl.replaceAll("(?s)--.*?(\n|$)", " ")
       .replaceAll("(?s)/\\*.*?\\*/", " ")
     val colPat = """(?i)(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)\s*[,)]""".r
-    colPat.findAllMatchIn(stripped).map { m =>
-      ColumnSpec(m.group(1).toUpperCase,
-        parseType(m.group(2).replaceAll("\\s+", "")))
+    colPat.findAllMatchIn(stripped).flatMap { m =>
+      // hostile external .sql: candidate pairs that aren't `name TYPE`
+      // (inline constraints like PRIMARY KEY, vendor types outside the
+      // lattice) are skipped, not fatal — the reference's regex parser
+      // likewise never rejects, and widen() only gates common columns
+      scala.util.Try(ColumnSpec(m.group(1).toUpperCase,
+        parseType(m.group(2).replaceAll("\\s+", "")))).toOption
     }.toSeq
   }
 

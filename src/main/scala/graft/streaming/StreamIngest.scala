@@ -106,6 +106,9 @@ object StreamIngest {
       l(key) === r(key) &&
         r(rightTimeCol) >= l(leftTimeCol) &&
         r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $band"))
+      // one key column out, not two: downstream select/groupBy on the
+      // key must not hit an ambiguous-reference error
+      .drop(r(key))
   }
 
   /** Write a streaming frame to an in-memory sink (tests / dashboards). */

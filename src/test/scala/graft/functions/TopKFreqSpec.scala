@@ -72,4 +72,23 @@ class TopKFreqSpec extends SparkSpec {
     val top2 = merged.top(2).map(_._1)
     assert(top2 == Seq("alpha", "beta"))
   }
+
+  test("merge floor covers items pruned on one side, seen on another") {
+    // A{x,y}, B{z,w} at capacity 2: merging prunes two items whose mass
+    // moves into the floor. C then contributes one pruned item ("y",
+    // count 1, true total 11) — without floor inheritance y would
+    // re-enter at 1 and underestimate by 10.
+    val a = new TopKFreq.SpaceSaving(2)
+    (1 to 10).foreach(_ => a.add("x")); (1 to 10).foreach(_ => a.add("y"))
+    val b = new TopKFreq.SpaceSaving(2)
+    (1 to 10).foreach(_ => b.add("z")); (1 to 10).foreach(_ => b.add("w"))
+    val c = new TopKFreq.SpaceSaving(2)
+    c.add("y")
+    val merged = a.mergeWith(b).mergeWith(c)
+    assert(merged.floor >= 10)
+    merged.counts.get("y").foreach { cnt =>
+      assert(cnt >= 11, s"y underestimated: $cnt < 11")
+      assert(cnt - merged.errors("y") <= 11)
+    }
+  }
 }

@@ -48,6 +48,16 @@ class FetchConfigSpec extends AnyFunSuite {
     assert(err.contains("GRAFT_NOPE"))
   }
 
+  test("set-but-empty env var falls back to the default (shell :-)") {
+    val json = valid.replace("\"/data/bitcoin\"",
+      "\"${GRAFT_DEST:-/fallback}\"")
+    val c = FetchConfig.parse(json, Map("GRAFT_DEST" -> "")).toOption.get
+    assert(c.destinationDir == Paths.get("/fallback"))
+    // empty + no default on a required key is still an error
+    val bare = valid.replace("\"/data/bitcoin\"", "\"${GRAFT_DEST}\"")
+    assert(FetchConfig.parse(bare, Map("GRAFT_DEST" -> "")).isLeft)
+  }
+
   test("missing required keys are reported") {
     val err = FetchConfig
       .parse("""{"base_url": "https://x"}""", Map.empty).swap.toOption.get

@@ -55,6 +55,25 @@ class FetchSpec extends AnyFunSuite {
     assert(!Files.exists(out))
   }
 
+  test("mid-stream failure on the last attempt leaves no .part behind") {
+    val out = tmpOut()
+    intercept[IOException] {
+      Fetch.downloadFile("http://x/f", out, attempts = 1,
+        open = { _ =>
+          new InputStream {
+            private var n = 0
+            override def read(): Int = {
+              n += 1
+              if (n > 3) throw new IOException("reset") else 'x'
+            }
+          }
+        },
+        sleep = _ => ())
+    }
+    assert(!Files.exists(out))
+    assert(!Files.exists(out.resolveSibling("out.tsv.gz.part")))
+  }
+
   test("HTTP error status is terminal — no retry") {
     val out = tmpOut()
     var calls = 0

@@ -78,6 +78,51 @@ class DailyRunSpec extends SparkSpec {
       Fixtures.blocksRows.size)
   }
 
+  test("dailyRun backfill lands THE date's file, not the newest one") {
+    val dest = Files.createTempDirectory("graft-dailyrun-raw3")
+    val parquet = Files.createTempDirectory("graft-dailyrun-pq3").toString
+    val cfg = FetchConfig.DownloadConfig(
+      baseUrl = "http://stub/dumps", apiKey = None,
+      dataTypes = Seq("blocks"), fileFormat = "tsv.gz",
+      destinationDir = dest, retentionDays = 30)
+    val blocksDir = dest.resolve("blocks")
+    Files.createDirectories(blocksDir)
+    // the backfill date's file (3 rows) AND a newer day's file (1 row)
+    Files.write(blocksDir.resolve(
+      "blockchair_bitcoin_blocks_20250820.tsv.gz"), gz(fixtureBody("blocks")))
+    Files.write(blocksDir.resolve(
+      "blockchair_bitcoin_blocks_20250821.tsv.gz"),
+      gz((Fixtures.blocksHeader +: Fixtures.blocksRows.take(1))
+        .mkString("\n") + "\n"))
+    val report = Pipeline.dailyRun(spark, cfg, "bitcoin",
+      LocalDate.of(2025, 8, 20), parquet,
+      open = _ => fail("skip-existing: no fetch expected"),
+      sleep = _ => ())
+    // 3 rows = the 0820 file; 1 row would mean the newer file leaked in
+    assert(report.landedRows("blocks") == Fixtures.blocksRows.size)
+  }
+
+  test("dailyRun skips a corrupt download whole (ON_ERROR=skip_file)") {
+    val dest = Files.createTempDirectory("graft-dailyrun-raw4")
+    val parquet = Files.createTempDirectory("graft-dailyrun-pq4").toString
+    val cfg = FetchConfig.DownloadConfig(
+      baseUrl = "http://stub/dumps", apiKey = None,
+      dataTypes = Seq("blocks", "transactions"), fileFormat = "tsv.gz",
+      destinationDir = dest, retentionDays = 3)
+    val open: String => java.io.InputStream = { url =>
+      val t = Seq("blocks", "transactions").find(url.contains).get
+      val body =
+        if (t == "transactions") fixtureBody(t) + "garbage\trow\n"
+        else fixtureBody(t)
+      new java.io.ByteArrayInputStream(gz(body))
+    }
+    val report = Pipeline.dailyRun(spark, cfg, "bitcoin",
+      LocalDate.of(2025, 8, 20), parquet, open = open, sleep = _ => ())
+    assert(report.skippedCorrupt == Seq("transactions"))
+    assert(report.landedRows.keySet == Set("blocks"))
+    assert(!Files.exists(java.nio.file.Paths.get(parquet, "transactions")))
+  }
+
   test("dailyRun: one failed type is reported, others land") {
     val dest = Files.createTempDirectory("graft-dailyrun-raw2")
     val parquet = Files.createTempDirectory("graft-dailyrun-pq2").toString

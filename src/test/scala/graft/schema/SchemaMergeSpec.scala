@@ -165,6 +165,18 @@ class SchemaMergeProps extends AnyFunSuite {
     assert(parsed == Seq(ColumnSpec("A", SfInteger), ColumnSpec("B", SfFloat)))
   }
 
+  test("parseDdl degrades on constraints and vendor types, never throws") {
+    // PRIMARY KEY produces a bogus (PRIMARY, KEY) candidate; NUMBER(38)
+    // is outside the lattice — both must be skipped, not fatal
+    val parsed = parseDdl(
+      """CREATE TABLE t (
+        |  ID INTEGER PRIMARY KEY,
+        |  N NUMBER ( 38 ),
+        |  H VARCHAR(64)
+        |);""".stripMargin)
+    assert(parsed == Seq(ColumnSpec("H", SfVarchar(64))))
+  }
+
   test("parseExisting: JSON dump wins over DDL text; absent both → empty") {
     val json = renderJson(Seq(ColumnSpec("A", SfInteger)))
     val ddl = renderDdl("t", Seq(ColumnSpec("B", SfFloat)))

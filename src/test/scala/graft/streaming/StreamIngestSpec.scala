@@ -111,6 +111,9 @@ class StreamIngestSpec extends SparkSpec {
     val joined = StreamIngest.joinStreamsWithinBand(
       inputs, "in_time", outputs, "out_time", "transaction_hash",
       watermark = "1 day", band = "1 hour")
+    // exactly one key column: downstream groupBy must not be ambiguous
+    assert(joined.columns.count(_ == "transaction_hash") == 1)
+    joined.groupBy("transaction_hash")
     val q = joined.writeStream.format("memory").queryName("ss_join")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
