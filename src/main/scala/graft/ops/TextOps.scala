@@ -128,6 +128,37 @@ object TextOps extends QueryModule {
                 / len(string_split(text, ' ')) * 0.7, 6) AS quality_score
               FROM documents""")),
 
+    // ---- Repetition score: duplicate word-3-gram fraction, the
+    //      standard "template/boilerplate" signal a training-data
+    //      filter thresholds on. Per-row (native shingle expression +
+    //      array ops) — zero shuffle; identical op shape on both sides.
+    Q("text_repetition",
+      (s, d) => {
+        val g3 = shingles(toksCol, 3)
+        val n3 = size(g3)
+        documents(s, d).select(
+          col("doc_id"),
+          n3.as("n_grams3"),
+          round(when(n3 > 0,
+            lit(1.0) - size(array_distinct(g3)) / n3.cast("double"))
+            .otherwise(0.0), 6).as("dup_gram_ratio"))
+      },
+      Some("""WITH g AS (
+                SELECT doc_id,
+                  list_transform(
+                    range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) AS g3
+                FROM documents)
+              SELECT doc_id,
+                CAST(len(g3) AS INT) AS n_grams3,
+                ROUND(CASE WHEN len(g3) > 0
+                  THEN 1.0 - len(list_distinct(g3))
+                    / CAST(len(g3) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_gram_ratio
+              FROM g""")),
+
     // ---- Language ID: marker-stopword scoring with a fixed priority
     //      order for ties (en > de > fr > es > zh).
     Q("lang_id",
