@@ -159,6 +159,63 @@ object TextOps extends QueryModule {
                   ELSE 0.0 END, 6) AS dup_gram_ratio
               FROM g""")),
 
+    // ---- The composed cleaning pipeline a training-data run actually
+    //      executes: quality + repetition thresholds, then exact dedup
+    //      keeping the first doc per content hash. Per-row scoring (no
+    //      shuffle) → one window exchange for keep-first, pre-reduced
+    //      map-side to one row per hash per task (the derived md5
+    //      partition key puts a Project between Filter and Window when
+    //      our LocalTopK rule runs, so here the reduction comes from
+    //      Spark's own partial WindowGroupLimit — same shape, asserted
+    //      in PlanSpec). Per-row double thresholds are safe: identical
+    //      op sequence on both engines.
+    Q("pipeline_clean_docs",
+      (s, d) => {
+        val t = toksCol
+        val nTok = size(t)
+        val stopCnt = size(filter(t, w => w.isin("the", "a", "of", "and")))
+        val q = stopCnt / nTok * 0.3 + size(array_distinct(t)) / nTok * 0.7
+        val g3 = shingles(toksCol, 3)
+        val n3 = size(g3)
+        val rep = when(n3 > 0,
+          lit(1.0) - size(array_distinct(g3)) / n3.cast("double"))
+          .otherwise(0.0)
+        val scored = documents(s, d)
+          .select(col("doc_id"), col("text"), q.as("q"), rep.as("rep"))
+          .filter(col("q") >= 0.5 && col("rep") <= 0.2)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text").cast("binary")))
+          .orderBy(col("doc_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, text,
+                  string_split(text, ' ') AS toks,
+                  list_transform(
+                    range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) AS g3
+                FROM documents),
+              scored AS (
+                SELECT doc_id, text,
+                  len(list_filter(toks,
+                      w -> w IN ('the', 'a', 'of', 'and')))
+                    / len(toks) * 0.3
+                    + len(list_distinct(toks)) / len(toks) * 0.7 AS q,
+                  CASE WHEN len(g3) > 0
+                    THEN 1.0 - len(list_distinct(g3))
+                      / CAST(len(g3) AS DOUBLE)
+                    ELSE 0.0 END AS rep
+                FROM sh)
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER
+                  (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM scored WHERE q >= 0.5 AND rep <= 0.2)
+              WHERE rn = 1""")),
+
     // ---- Language ID: marker-stopword scoring with a fixed priority
     //      order for ties (en > de > fr > es > zh).
     Q("lang_id",

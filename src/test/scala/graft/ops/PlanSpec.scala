@@ -87,6 +87,12 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("clean-docs dedup is pre-reduced map-side (partial group limit)") {
+    val p = plan("pipeline_clean_docs")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(p.contains("Partial"), p.take(1500))
+  }
+
   test("a2 scale variant: approx_count_distinct plans without expand") {
     import org.apache.spark.sql.functions._
     val li = graft.Tables.lineitem(spark, sf)
