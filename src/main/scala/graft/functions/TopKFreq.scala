@@ -10,8 +10,12 @@ import scala.collection.mutable
   * domain doesn't fit a shuffle.
   *
   * Metwally/Agrawal/El Abbadi Space-Saving with `capacity` counters:
-  * counts are exact for any item whose true frequency exceeds n/capacity;
-  * merge is the standard counter-sum + prune. The buffer is a plain
+  * counts are exact for any item whose true frequency exceeds n/capacity.
+  * Merge is counter-sum + prune with absent-side charging (an item
+  * missing from one sketch is charged that sketch's eviction bound into
+  * both count and error), so the invariant true ≤ count ≤ true + error
+  * survives arbitrary merge trees — fuzz-pinned in TopKFreqPropSpec
+  * across random streams, splits, and merge orders. The buffer is a plain
   * mutable object serialized with Kryo — mutation happens in place per
   * row, serialization only at partial-aggregation boundaries (the same
   * lifecycle TypedImperativeAggregate uses), so reduce() is O(1) map ops,
@@ -51,26 +55,36 @@ object TopKFreq {
       }
     }
 
+    /** Upper bound on the true count of an item ABSENT from this
+      * sketch: add()-evicted mass is bounded by the current minimum
+      * counter (counters only grow, and an item is evicted while at the
+      * minimum); merge-pruned mass is bounded by the floor. Below
+      * capacity, add() never evicts, so only the floor applies. */
+    private def absentCharge: Long =
+      if (counts.size >= capacity && counts.nonEmpty)
+        math.max(floor, counts.values.min)
+      else floor
+
     def mergeWith(other: SpaceSaving): SpaceSaving = {
-      // An item absent from one side may still have been seen (and
-      // pruned) in that side's stream — its unseen true count is bounded
-      // by that side's floor. Charging the absent side's floor to both
-      // count and error keeps the invariant true <= count <= true+error
-      // across merges (the overestimate is the price of mergeability).
-      val thisFloor = floor
+      // An item absent from one side may still have been seen there —
+      // evicted by add() or dropped by a merge-prune. Charging the
+      // absent side's bound to both count and error keeps the invariant
+      // true <= count <= true + error across merges (the overestimate
+      // is the price of mergeability; items with error 0 stay exact).
+      val thisCharge = absentCharge
+      val otherCharge = other.absentCharge
       val seenInOther = other.counts.keySet
       other.counts.foreach { case (item, c) =>
-        val base = counts.getOrElse(item, thisFloor)
-        counts.update(item, base + c)
+        counts.update(item, counts.getOrElse(item, thisCharge) + c)
         errors.update(item,
-          errors.getOrElse(item, thisFloor) + other.errors.getOrElse(item, 0L))
+          errors.getOrElse(item, thisCharge) + other.errors.getOrElse(item, 0L))
       }
       counts.keysIterator.filterNot(seenInOther).toSeq.foreach { item =>
-        counts.update(item, counts(item) + other.floor)
-        errors.update(item, errors(item) + other.floor)
+        counts.update(item, counts(item) + otherCharge)
+        errors.update(item, errors(item) + otherCharge)
       }
-      // an item absent from BOTH sides could have up to floorA + floorB
-      floor = thisFloor + other.floor
+      // an item absent from BOTH sides is bounded by the charge sum
+      floor = thisCharge + otherCharge
       if (counts.size > capacity) {
         val sorted = counts.toSeq.sortBy(p => (-p._2, p._1))
         val keep = sorted.take(capacity).map(_._1).toSet
