@@ -9,8 +9,10 @@ import scala.collection.mutable
   * groupBy", the aggregate a 100 TB text pipeline needs when the token
   * domain doesn't fit a shuffle.
   *
-  * Metwally/Agrawal/El Abbadi Space-Saving with `capacity` counters:
-  * counts are exact for any item whose true frequency exceeds n/capacity.
+  * Metwally/Agrawal/El Abbadi Space-Saving with `capacity` counters.
+  * On a single unmerged sketch, counts are exact for any item whose true
+  * frequency exceeds n/capacity (error 0 ⇒ exact). After merges no
+  * exactness is claimed — per-item `errors` carry the uncertainty.
   * Merge is counter-sum + prune with absent-side charging (an item
   * missing from one sketch is charged that sketch's eviction bound into
   * both count and error), so the invariant true ≤ count ≤ true + error

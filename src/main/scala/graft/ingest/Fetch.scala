@@ -110,8 +110,7 @@ object Fetch {
       sleep: Long => Unit = Thread.sleep): Map[String, Result] =
     tableTypes.map { t =>
       val url = Tsv.dailyFileUrl(baseUrl, coin, t, date)
-      val fileName = url.substring(url.lastIndexOf('/') + 1)
-      val out = destDir.resolve(t).resolve(fileName)
+      val out = destDir.resolve(t).resolve(Tsv.dailyFileName(coin, t, date))
       val res =
         try downloadFile(url, out, skipExisting, open = open, sleep = sleep)
         catch { case _: IOException => Failed(-1) }

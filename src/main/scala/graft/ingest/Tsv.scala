@@ -156,12 +156,20 @@ object Tsv {
     }
   }
 
+  /** Contract filename of one daily dump — the single source the URL
+    * builder, the fetch layout, and the landing lookup all share (a
+    * drifted copy would make fetch write one name and landing look for
+    * another). */
+  def dailyFileName(coin: String, tableType: String,
+      date: java.time.LocalDate): String = {
+    val d = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    s"blockchair_${coin}_${tableType}_$d.tsv.gz"
+  }
+
   /** S4 — daily-file URL builder (download_blockchair_data.py:306-314).
     * The HTTP fetch itself is driver-side I/O; zero-egress environments
     * exercise the URL/date logic only. */
   def dailyFileUrl(baseUrl: String, coin: String, tableType: String,
-      date: java.time.LocalDate): String = {
-    val d = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
-    s"$baseUrl/$coin/$tableType/blockchair_${coin}_${tableType}_$d.tsv.gz"
-  }
+      date: java.time.LocalDate): String =
+    s"$baseUrl/$coin/$tableType/${dailyFileName(coin, tableType, date)}"
 }

@@ -157,22 +157,34 @@ object Pipeline {
         // land THIS date's file, by its contract name — not latestFile:
         // a backfill/rerun of a past day must not land a newer dump
         // under the old load_date
-        val url = Tsv.dailyFileUrl(cfg.baseUrl, coin, t, date)
-        val fileName = url.substring(url.lastIndexOf('/') + 1)
+        val fileName = Tsv.dailyFileName(coin, t, date)
         val file = cfg.destinationDir.resolve(t).resolve(fileName)
+        // fetch just reported success for this name — absence is an
+        // invariant violation (external interference), not a data
+        // problem; fail loudly instead of reporting "corrupt"
+        if (!Files.exists(file))
+          sys.error(s"fetched $t but $file is missing")
         // whole-file parse gate (ON_ERROR='skip_file' parity): a
-        // truncated/garbled download must not land null-padded rows
-        // (the probe cache stays — it is exactly the day's raw working
-        // set, and readSkippingBadFiles unpersists rejected files)
-        val (df, bad) = Tsv.readSkippingBadFiles(spark,
-          Seq(file.toString), schemas(t))
-        if (bad.nonEmpty) Left(t)
-        else {
-          Tsv.landToParquetIdempotent(df, dateToken, s"$parquetDir/$t",
-            sortCols = Seq.empty)
-          Right(t -> spark.read.parquet(s"$parquetDir/$t")
-            .where(col("load_date") === dateToken).count())
-        }
+        // truncated/garbled download must not land null-padded rows.
+        // One cached parse serves probe + landing, released after.
+        val raw = Tsv.read(spark, file.toString, schemas(t)).cache()
+        try {
+          val badRows = scala.util.Try(
+            raw.filter(col("_corrupt_record").isNotNull).count())
+          if (badRows.toOption.contains(0L)) {
+            Tsv.landToParquetIdempotent(raw.drop("_corrupt_record"),
+              dateToken, s"$parquetDir/$t", sortCols = Seq.empty)
+            Right(t -> spark.read.parquet(s"$parquetDir/$t")
+              .where(col("load_date") === dateToken).count())
+          } else {
+            // quarantine the rejected bytes: a rerun must RE-FETCH the
+            // (republished) dump, which skip-existing would otherwise
+            // never do while the bad file sits at the contract name
+            Files.move(file, file.resolveSibling(fileName + ".corrupt"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            Left(t)
+          }
+        } finally raw.unpersist()
     }
     val landed = attempts.collect { case Right(kv) => kv }.toMap
     val corrupt = attempts.collect { case Left(t) => t }.sorted

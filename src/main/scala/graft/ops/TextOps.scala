@@ -41,6 +41,42 @@ object TextOps extends QueryModule {
   def shingles(toks: Column, n: Int): Column =
     graft.functions.TextExprs.wordShingles(toks, n)
 
+  // ---- Quality / repetition signals, single-sourced: the standalone
+  //      queries and the composed cleaning pipeline share these Column
+  //      builders and their DuckDB SQL twins, so a weight or stopword
+  //      tweak cannot silently diverge between them.
+  private val Stopwords = Seq("the", "a", "of", "and")
+  private def stopRatio(t: Column): Column =
+    size(filter(t, w => w.isin(Stopwords.map(lit): _*))) / size(t)
+  private def distinctRatio(t: Column): Column =
+    size(array_distinct(t)) / size(t)
+  private def qualityScore(t: Column): Column =
+    stopRatio(t) * 0.3 + distinctRatio(t) * 0.7
+  private def dupGramRatio(toks: Column): Column = {
+    val g3 = shingles(toks, 3)
+    val n3 = size(g3)
+    when(n3 > 0, lit(1.0) - size(array_distinct(g3)) / n3.cast("double"))
+      .otherwise(0.0)
+  }
+  private val SqlToks = "string_split(text, ' ')"
+  private val SqlStopRatio =
+    s"len(list_filter($SqlToks, w -> w IN ('the', 'a', 'of', 'and')))" +
+      s" / len($SqlToks)"
+  private val SqlDistinctRatio =
+    s"len(list_distinct($SqlToks)) / len($SqlToks)"
+  private val SqlQuality =
+    s"$SqlStopRatio * 0.3 + $SqlDistinctRatio * 0.7"
+  /** Word-3-gram list; consumers alias it `AS g3`. */
+  private val SqlG3 =
+    s"""list_transform(range(1, len($SqlToks) - 1),
+       |  i -> $SqlToks[i] || ' ' || $SqlToks[i+1] || ' ' ||
+       |       $SqlToks[i+2])""".stripMargin
+  /** Duplicate-3-gram fraction over a column named `g3`. */
+  private val SqlDupRatio =
+    """CASE WHEN len(g3) > 0
+      |  THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+      |  ELSE 0.0 END""".stripMargin
+
   /** 16-hash MinHash signature columns for a (doc_id, shingle) relation. */
   private val numHashes = 16
   private val bandsOf2 = numHashes / 2
@@ -98,34 +134,24 @@ object TextOps extends QueryModule {
 
     // ---- Quality scoring: stopword ratio + vocabulary diversity.
     //      Per-row double math with identical expression shape on both
-    //      sides → deterministic.
+    //      sides → deterministic. The score expressions (and their SQL
+    //      twins) are single-sourced so the composed cleaning pipeline
+    //      below cannot silently diverge from the standalone signals.
     Q("text_quality",
       (s, d) => {
         val t = toksCol
-        val nTok = size(t)
-        val stopCnt = size(filter(t, w =>
-          w.isin("the", "a", "of", "and")))
-        val distinctCnt = size(array_distinct(t))
         documents(s, d).select(
           col("doc_id"),
-          nTok.as("n_tokens"),
-          round(stopCnt / nTok, 6).as("stop_ratio"),
-          round(distinctCnt / nTok, 6).as("distinct_ratio"),
-          round(stopCnt / nTok * 0.3 + distinctCnt / nTok * 0.7, 6)
-            .as("quality_score"))
+          size(t).as("n_tokens"),
+          round(stopRatio(t), 6).as("stop_ratio"),
+          round(distinctRatio(t), 6).as("distinct_ratio"),
+          round(qualityScore(t), 6).as("quality_score"))
       },
-      Some("""SELECT doc_id,
-              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-              ROUND(len(list_filter(string_split(text, ' '),
-                    w -> w IN ('the', 'a', 'of', 'and')))
-                / len(string_split(text, ' ')), 6) AS stop_ratio,
-              ROUND(len(list_distinct(string_split(text, ' ')))
-                / len(string_split(text, ' ')), 6) AS distinct_ratio,
-              ROUND(len(list_filter(string_split(text, ' '),
-                    w -> w IN ('the', 'a', 'of', 'and')))
-                / len(string_split(text, ' ')) * 0.3
-                + len(list_distinct(string_split(text, ' ')))
-                / len(string_split(text, ' ')) * 0.7, 6) AS quality_score
+      Some(s"""SELECT doc_id,
+              CAST(len($SqlToks) AS INT) AS n_tokens,
+              ROUND($SqlStopRatio, 6) AS stop_ratio,
+              ROUND($SqlDistinctRatio, 6) AS distinct_ratio,
+              ROUND($SqlQuality, 6) AS quality_score
               FROM documents""")),
 
     // ---- Repetition score: duplicate word-3-gram fraction, the
@@ -133,30 +159,15 @@ object TextOps extends QueryModule {
     //      filter thresholds on. Per-row (native shingle expression +
     //      array ops) — zero shuffle; identical op shape on both sides.
     Q("text_repetition",
-      (s, d) => {
-        val g3 = shingles(toksCol, 3)
-        val n3 = size(g3)
-        documents(s, d).select(
-          col("doc_id"),
-          n3.as("n_grams3"),
-          round(when(n3 > 0,
-            lit(1.0) - size(array_distinct(g3)) / n3.cast("double"))
-            .otherwise(0.0), 6).as("dup_gram_ratio"))
-      },
-      Some("""WITH g AS (
-                SELECT doc_id,
-                  list_transform(
-                    range(1, len(string_split(text,' ')) - 1),
-                    i -> string_split(text,' ')[i] || ' ' ||
-                         string_split(text,' ')[i+1] || ' ' ||
-                         string_split(text,' ')[i+2]) AS g3
-                FROM documents)
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        size(shingles(toksCol, 3)).as("n_grams3"),
+        round(dupGramRatio(toksCol), 6).as("dup_gram_ratio")),
+      Some(s"""WITH g AS (
+                SELECT doc_id, $SqlG3 AS g3 FROM documents)
               SELECT doc_id,
                 CAST(len(g3) AS INT) AS n_grams3,
-                ROUND(CASE WHEN len(g3) > 0
-                  THEN 1.0 - len(list_distinct(g3))
-                    / CAST(len(g3) AS DOUBLE)
-                  ELSE 0.0 END, 6) AS dup_gram_ratio
+                ROUND($SqlDupRatio, 6) AS dup_gram_ratio
               FROM g""")),
 
     // ---- The composed cleaning pipeline a training-data run actually
@@ -171,17 +182,10 @@ object TextOps extends QueryModule {
     //      op sequence on both engines.
     Q("pipeline_clean_docs",
       (s, d) => {
-        val t = toksCol
-        val nTok = size(t)
-        val stopCnt = size(filter(t, w => w.isin("the", "a", "of", "and")))
-        val q = stopCnt / nTok * 0.3 + size(array_distinct(t)) / nTok * 0.7
-        val g3 = shingles(toksCol, 3)
-        val n3 = size(g3)
-        val rep = when(n3 > 0,
-          lit(1.0) - size(array_distinct(g3)) / n3.cast("double"))
-          .otherwise(0.0)
         val scored = documents(s, d)
-          .select(col("doc_id"), col("text"), q.as("q"), rep.as("rep"))
+          .select(col("doc_id"), col("text"),
+            qualityScore(toksCol).as("q"),
+            dupGramRatio(toksCol).as("rep"))
           .filter(col("q") >= 0.5 && col("rep") <= 0.2)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text").cast("binary")))
@@ -190,26 +194,13 @@ object TextOps extends QueryModule {
           .filter(col("rn") === 1)
           .select(col("doc_id"))
       },
-      Some("""WITH sh AS (
-                SELECT doc_id, text,
-                  string_split(text, ' ') AS toks,
-                  list_transform(
-                    range(1, len(string_split(text,' ')) - 1),
-                    i -> string_split(text,' ')[i] || ' ' ||
-                         string_split(text,' ')[i+1] || ' ' ||
-                         string_split(text,' ')[i+2]) AS g3
-                FROM documents),
+      Some(s"""WITH g AS (
+                SELECT doc_id, text, $SqlG3 AS g3 FROM documents),
               scored AS (
                 SELECT doc_id, text,
-                  len(list_filter(toks,
-                      w -> w IN ('the', 'a', 'of', 'and')))
-                    / len(toks) * 0.3
-                    + len(list_distinct(toks)) / len(toks) * 0.7 AS q,
-                  CASE WHEN len(g3) > 0
-                    THEN 1.0 - len(list_distinct(g3))
-                      / CAST(len(g3) AS DOUBLE)
-                    ELSE 0.0 END AS rep
-                FROM sh)
+                  $SqlQuality AS q,
+                  $SqlDupRatio AS rep
+                FROM g)
               SELECT doc_id FROM (
                 SELECT doc_id, row_number() OVER
                   (PARTITION BY md5(text) ORDER BY doc_id) AS rn

@@ -124,12 +124,18 @@ object SchemaMerge {
   def parseDdl(ddl: String): Schema = {
     val stripped = ddl.replaceAll("(?s)--.*?(\n|$)", " ")
       .replaceAll("(?s)/\\*.*?\\*/", " ")
-    val colPat = """(?i)(\w+)\s+(\w+(?:\s*\(\s*\d+\s*\))?)\s*[,)]""".r
+    // Type-anchored: only the lattice's own type names match, so a
+    // column with an inline constraint (`ID INTEGER PRIMARY KEY`) still
+    // parses — the `[^,)]*` tail swallows the constraint tokens instead
+    // of derailing the column. Vendor types outside the lattice are
+    // skipped (they could not participate in widen() anyway); hostile
+    // .sql input can drop columns but never throws.
+    // the (?!\s*\() lookahead rejects `TABLE DATE (` — a table that is
+    // NAMED like a type must not parse as a column
+    val colPat =
+      ("""(?i)(\w+)\s+(INTEGER|FLOAT|BOOLEAN|DATE|TIMESTAMP|""" +
+        """VARCHAR\s*(?:\(\s*\d+\s*\))?)(?!\s*\()[^,)]*[,)]""").r
     colPat.findAllMatchIn(stripped).flatMap { m =>
-      // hostile external .sql: candidate pairs that aren't `name TYPE`
-      // (inline constraints like PRIMARY KEY, vendor types outside the
-      // lattice) are skipped, not fatal — the reference's regex parser
-      // likewise never rejects, and widen() only gates common columns
       scala.util.Try(ColumnSpec(m.group(1).toUpperCase,
         parseType(m.group(2).replaceAll("\\s+", "")))).toOption
     }.toSeq

@@ -121,6 +121,22 @@ class DailyRunSpec extends SparkSpec {
     assert(report.skippedCorrupt == Seq("transactions"))
     assert(report.landedRows.keySet == Set("blocks"))
     assert(!Files.exists(java.nio.file.Paths.get(parquet, "transactions")))
+    // the rejected bytes are quarantined, not left at the contract name
+    val txDir = dest.resolve("transactions")
+    val contractName = "blockchair_bitcoin_transactions_20250820.tsv.gz"
+    assert(!Files.exists(txDir.resolve(contractName)))
+    assert(Files.exists(txDir.resolve(contractName + ".corrupt")))
+    // heal path: upstream republishes a clean dump; the rerun re-fetches
+    // (skip-existing no longer blocks) and lands it
+    val healed = Pipeline.dailyRun(spark, cfg, "bitcoin",
+      LocalDate.of(2025, 8, 20), parquet,
+      open = { url =>
+        val t = Seq("blocks", "transactions").find(url.contains).get
+        new java.io.ByteArrayInputStream(gz(fixtureBody(t)))
+      },
+      sleep = _ => ())
+    assert(healed.skippedCorrupt.isEmpty)
+    assert(healed.landedRows("transactions") == Fixtures.txRows.size)
   }
 
   test("dailyRun: one failed type is reported, others land") {

@@ -165,16 +165,20 @@ class SchemaMergeProps extends AnyFunSuite {
     assert(parsed == Seq(ColumnSpec("A", SfInteger), ColumnSpec("B", SfFloat)))
   }
 
-  test("parseDdl degrades on constraints and vendor types, never throws") {
-    // PRIMARY KEY produces a bogus (PRIMARY, KEY) candidate; NUMBER(38)
-    // is outside the lattice — both must be skipped, not fatal
+  test("parseDdl handles inline constraints; skips vendor types") {
+    // the constraint-carrying column must still seed the gate; a type
+    // outside the lattice is skipped (it cannot participate in widen)
     val parsed = parseDdl(
       """CREATE TABLE t (
         |  ID INTEGER PRIMARY KEY,
         |  N NUMBER ( 38 ),
-        |  H VARCHAR(64)
+        |  H VARCHAR(64) NOT NULL
         |);""".stripMargin)
-    assert(parsed == Seq(ColumnSpec("H", SfVarchar(64))))
+    assert(parsed == Seq(ColumnSpec("ID", SfInteger),
+      ColumnSpec("H", SfVarchar(64))))
+    // a table NAMED like a type must not parse as a column
+    assert(parseDdl("CREATE TABLE DATE (A INTEGER);") ==
+      Seq(ColumnSpec("A", SfInteger)))
   }
 
   test("parseExisting: JSON dump wins over DDL text; absent both → empty") {
