@@ -152,6 +152,49 @@ object Extensions extends QueryModule {
                 ',') AS first3
               FROM documents""")),
 
+    // ---- posexplode: ordinal-preserving flatten (the UDTF shape with
+    //      position). DuckDB has no WITH ORDINALITY; the oracle pairs
+    //      each token with its 1-based subscript via unnest(range).
+    Q("x23_posexplode",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token"))),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+              ix AS (
+                SELECT doc_id, toks,
+                  unnest(range(1, len(toks) + 1)) AS i
+                FROM t)
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                toks[i] AS token
+              FROM ix""")),
+
+    // ---- Statistical aggregate suite: correlation, covariance,
+    //      sample stddev/variance, median. Both engines accumulate in
+    //      double; ROUND(6) absorbs accumulation-order noise (~1e-15
+    //      relative) far below the rounding grain.
+    Q("x24_stats_agg",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("covar_qty_price"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(median(col("l_quantity")), 6).as("med_qty")),
+      Some("""SELECT l_returnflag,
+              ROUND(corr(l_quantity, l_extendedprice), 6)
+                AS corr_qty_price,
+              ROUND(covar_samp(l_quantity, l_extendedprice), 2)
+                AS covar_qty_price,
+              ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+              ROUND(var_samp(l_quantity), 6) AS var_qty,
+              ROUND(median(l_quantity), 6) AS med_qty
+              FROM lineitem GROUP BY 1""")),
+
     // ---- ntile: equal-depth bucketing per key (quartiles of each
     //      user's event history). Deterministic under the total order
     //      (ts, event_id). Same single-exchange window shape as w2.
