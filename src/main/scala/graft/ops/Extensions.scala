@@ -195,6 +195,24 @@ object Extensions extends QueryModule {
               ROUND(median(l_quantity), 6) AS med_qty
               FROM lineitem GROUP BY 1""")),
 
+    // ---- Fuzzy matching: all-pairs edit distance over the DISTINCT
+    //      key domain — the blocking step of fuzzy dedup. The distinct
+    //      set is tiny (it is the point: dedupe the domain, then join
+    //      back), so the pair join is a broadcast NLJ over k², not n².
+    Q("x25_fuzzy_match",
+      (s, d) => {
+        val types = events(s, d).select(col("event_type")).distinct()
+        val a = types.select(col("event_type").as("ta"))
+        val b = types.select(col("event_type").as("tb"))
+        a.join(b, col("ta") < col("tb"))
+          .select(col("ta"), col("tb"),
+            levenshtein(col("ta"), col("tb")).as("edit_dist"))
+      },
+      Some("""WITH t AS (SELECT DISTINCT event_type FROM events)
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                     levenshtein(a.event_type, b.event_type) AS edit_dist
+              FROM t a JOIN t b ON a.event_type < b.event_type""")),
+
     // ---- ntile: equal-depth bucketing per key (quartiles of each
     //      user's event history). Deterministic under the total order
     //      (ts, event_id). Same single-exchange window shape as w2.
