@@ -107,9 +107,10 @@ object Fetch {
       date: java.time.LocalDate, destDir: Path,
       skipExisting: Boolean = true,
       open: String => InputStream = openHttp,
-      sleep: Long => Unit = Thread.sleep): Map[String, Result] =
+      sleep: Long => Unit = Thread.sleep,
+      apiKey: Option[String] = None): Map[String, Result] =
     tableTypes.map { t =>
-      val url = Tsv.dailyFileUrl(baseUrl, coin, t, date)
+      val url = Tsv.dailyFileUrl(baseUrl, coin, t, date, apiKey)
       val out = destDir.resolve(t).resolve(Tsv.dailyFileName(coin, t, date))
       val res =
         try downloadFile(url, out, skipExisting, open = open, sleep = sleep)

@@ -69,11 +69,14 @@ object Tsv {
     * file is parsed permissively ONCE into cache; the corrupt-row probe
     * materializes that cache, and the returned union reads from it — no
     * second parse of good files (r1 probed FAILFAST then re-read, paying
-    * the parse twice). Callers that fully consume the result may
-    * `unpersist` it afterwards. */
+    * the parse twice). The third element RELEASES the per-file caches:
+    * call it after consuming the union (unpersisting the union itself
+    * cannot reach the per-file InMemoryRelations, so skipping the
+    * release leaks cache storage per call in a long-lived driver). */
   def readSkippingBadFiles(spark: SparkSession, files: Seq[String],
-      schema: StructType): (DataFrame, Seq[String]) = {
+      schema: StructType): (DataFrame, Seq[String], () => Unit) = {
     import org.apache.spark.sql.functions.col
+    val cached = scala.collection.mutable.Buffer[DataFrame]()
     val attempts = files.map(f => f -> Try {
       val df = read(spark, f, schema, permissive = true).cache()
       try {
@@ -82,6 +85,7 @@ object Tsv {
         // uncached and downstream reads would re-parse.
         if (df.filter(col("_corrupt_record").isNotNull).count() > 0)
           throw new IllegalArgumentException(s"malformed rows in $f")
+        cached += df
         df.drop("_corrupt_record")
       } catch { case e: Throwable => df.unpersist(); throw e }
     })
@@ -90,38 +94,40 @@ object Tsv {
     val union = good.reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    (union, bad)
+    (union, bad, () => cached.foreach(_.unpersist()))
+  }
+
+  /** One landing contract (sort + load_date column) for both write
+    * modes — a drifted copy would silently diverge the append and
+    * idempotent paths. */
+  private def land(df: DataFrame, loadDate: String, outDir: String,
+      sortCols: Seq[String], idempotent: Boolean): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val base = sorted.withColumn("load_date", lit(loadDate)).write
+    val writer =
+      if (idempotent)
+        base.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      else base.mode("append")
+    writer.partitionBy("load_date").parquet(outDir)
   }
 
   /** Land a raw daily file into date-partitioned Parquet — the layout every
     * downstream model reads (cluster_by analog: partition pruning on
     * `load_date` + sorted within partitions). */
   def landToParquet(df: DataFrame, loadDate: String, outDir: String,
-      sortCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.lit
-    val sorted =
-      if (sortCols.nonEmpty)
-        df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
-      else df
-    sorted.withColumn("load_date", lit(loadDate))
-      .write.mode("append").partitionBy("load_date").parquet(outDir)
-  }
+      sortCols: Seq[String]): Unit =
+    land(df, loadDate, outDir, sortCols, idempotent = false)
 
   /** Idempotent landing: dynamic partition overwrite replaces ONLY this
     * load_date's partition, so re-running a day (skip-existing fetch →
     * same input) converges instead of appending duplicates. */
   def landToParquetIdempotent(df: DataFrame, loadDate: String,
-      outDir: String, sortCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.lit
-    val sorted =
-      if (sortCols.nonEmpty)
-        df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
-      else df
-    sorted.withColumn("load_date", lit(loadDate))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("load_date").parquet(outDir)
-  }
+      outDir: String, sortCols: Seq[String]): Unit =
+    land(df, loadDate, outDir, sortCols, idempotent = true)
 
   /** The dump filename contract: `..._{YYYYMMDD}.tsv[.gz]`
     * (download_blockchair_data.py:235). Single source — retention,
@@ -147,7 +153,12 @@ object Tsv {
       _.iterator().asScala.toSeq
     }.get // close the stream: daily sweeps must not leak descriptors
     listing.flatMap { p =>
-      fileDateToken(p.getFileName.toString).flatMap { d =>
+      // quarantined rejects (.corrupt suffix) age out with the same
+      // retention as their originals — they must not accumulate. The
+      // suffix is stripped ONLY here: latestFile/preflight still ignore
+      // quarantined files entirely.
+      val name = p.getFileName.toString.stripSuffix(".corrupt")
+      fileDateToken(name).flatMap { d =>
         val fileDate = Try(java.time.LocalDate.parse(d, fmt)).toOption
         if (fileDate.exists(_.isBefore(cutoff))) {
           Files.delete(p); Some(p)
@@ -167,9 +178,13 @@ object Tsv {
   }
 
   /** S4 — daily-file URL builder (download_blockchair_data.py:306-314).
+    * A configured API key rides as a query parameter, as the reference
+    * appends it; key-gated endpoints otherwise 402/403 on every fetch.
     * The HTTP fetch itself is driver-side I/O; zero-egress environments
     * exercise the URL/date logic only. */
   def dailyFileUrl(baseUrl: String, coin: String, tableType: String,
-      date: java.time.LocalDate): String =
-    s"$baseUrl/$coin/$tableType/${dailyFileName(coin, tableType, date)}"
+      date: java.time.LocalDate, apiKey: Option[String] = None): String = {
+    val base = s"$baseUrl/$coin/$tableType/${dailyFileName(coin, tableType, date)}"
+    apiKey.fold(base)(k => s"$base?key=$k")
+  }
 }

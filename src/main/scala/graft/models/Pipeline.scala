@@ -105,6 +105,17 @@ object Pipeline {
       .sortBy(_._1).lastOption.map(_._2)
   }
 
+  /** Whole-file read corruption (vs infra failure): Spark wraps parquet/
+    * csv/gzip decode errors in FAILED_READ_FILE; malformed-record errors
+    * carry MALFORMED markers. Anything else is not data corruption. */
+  private def isReadCorruption(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists { c =>
+        val m = Option(c.getMessage).getOrElse("")
+        m.contains("FAILED_READ_FILE") || m.contains("MALFORMED") ||
+          m.contains("CorruptedGZIP") || c.isInstanceOf[java.io.EOFException]
+      }
+
   /** M7 — preflight: all five raw inputs present and non-empty. */
   def preflight(dir: Path): Either[String, Unit] = {
     val required = Seq("blocks", "transactions", "inputs", "outputs",
@@ -148,7 +159,8 @@ object Pipeline {
       "outputs" -> BlockchairSchemas.outputs,
       "addresses" -> BlockchairSchemas.addresses)
     val fetched = Fetch.fetchDaily(cfg.baseUrl, coin, cfg.dataTypes, date,
-      cfg.destinationDir, skipExisting = true, open = open, sleep = sleep)
+      cfg.destinationDir, skipExisting = true, open = open, sleep = sleep,
+      apiKey = cfg.apiKey)
     val dateToken = date.format(
       java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
     val attempts = fetched.toSeq.collect {
@@ -169,9 +181,19 @@ object Pipeline {
         // One cached parse serves probe + landing, released after.
         val raw = Tsv.read(spark, file.toString, schemas(t)).cache()
         try {
-          val badRows = scala.util.Try(
-            raw.filter(col("_corrupt_record").isNotNull).count())
-          if (badRows.toOption.contains(0L)) {
+          // Corruption must be POSITIVELY identified before the
+          // destructive quarantine: a row-level parse problem shows up
+          // as corrupt-record rows; a whole-file read error (bad gzip)
+          // carries Spark's FAILED_READ_FILE marker. Any OTHER probe
+          // failure (infra: executor loss, disk) rethrows — renaming a
+          // healthy file to .corrupt on a transient error would lose
+          // the day if upstream no longer publishes the dump.
+          val badRows =
+            try raw.filter(col("_corrupt_record").isNotNull).count()
+            catch {
+              case e: Exception if isReadCorruption(e) => -1L
+            }
+          if (badRows == 0L) {
             Tsv.landToParquetIdempotent(raw.drop("_corrupt_record"),
               dateToken, s"$parquetDir/$t", sortCols = Seq.empty)
             Right(t -> spark.read.parquet(s"$parquetDir/$t")
@@ -179,7 +201,8 @@ object Pipeline {
           } else {
             // quarantine the rejected bytes: a rerun must RE-FETCH the
             // (republished) dump, which skip-existing would otherwise
-            // never do while the bad file sits at the contract name
+            // never do while the bad file sits at the contract name.
+            // retentionSweep treats .corrupt files like their originals.
             Files.move(file, file.resolveSibling(fileName + ".corrupt"),
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             Left(t)

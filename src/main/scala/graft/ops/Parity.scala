@@ -22,8 +22,11 @@ object Parity {
     * exact in decimal; the final compared column is cast to DOUBLE because
     * the driver's hasher canonicalizes DECIMAL outputs differently between
     * Spark parquet and DuckDB (r1: 8 value-identical queries hash-failed on
-    * DECIMAL(38,6) outputs alone). A DECIMAL(18,6)-sum → DOUBLE cast at
-    * these magnitudes is exact and bit-identical in both engines. */
+    * DECIMAL(38,6) outputs alone). Below 2^53 of unscaled value the cast
+    * is exact; beyond it, bit-identity relies on both engines rounding the
+    * decimal→double conversion correctly (IEEE nearest-even), which the
+    * sf0.1 gate pins in practice: sum(l_extendedprice) there carries
+    * ~2.3e16 unscaled — past 2^53 — and still hash-matches. */
   def outDec(c: Column): Column = c.cast("double")
 
   /** Exact sum of a money-like double column. */

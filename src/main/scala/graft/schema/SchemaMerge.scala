@@ -130,11 +130,12 @@ object SchemaMerge {
     // of derailing the column. Vendor types outside the lattice are
     // skipped (they could not participate in widen() anyway); hostile
     // .sql input can drop columns but never throws.
-    // the (?!\s*\() lookahead rejects `TABLE DATE (` — a table that is
-    // NAMED like a type must not parse as a column
+    // (?![\w$]) stops prefix misparses — DATETIME must not parse as
+    // DATE, TIMESTAMP_LTZ not as TIMESTAMP; (?!\s*\() rejects
+    // `TABLE DATE (` — a table NAMED like a type is not a column
     val colPat =
       ("""(?i)(\w+)\s+(INTEGER|FLOAT|BOOLEAN|DATE|TIMESTAMP|""" +
-        """VARCHAR\s*(?:\(\s*\d+\s*\))?)(?!\s*\()[^,)]*[,)]""").r
+        """VARCHAR\s*(?:\(\s*\d+\s*\))?)(?![\w$])(?!\s*\()[^,)]*[,)]""").r
     colPat.findAllMatchIn(stripped).flatMap { m =>
       scala.util.Try(ColumnSpec(m.group(1).toUpperCase,
         parseType(m.group(2).replaceAll("\\s+", "")))).toOption

@@ -51,7 +51,10 @@ class TsvSpec extends SparkSpec {
   test("S3 file-level: a bad file is skipped, good files load") {
     val bad = dir.resolve("broken_blocks_20250820.tsv")
     Files.writeString(bad, "totally\tbroken\nno\tschema\n")
-    val (df, skipped) = Tsv.readSkippingBadFiles(spark,
+    // relative baseline: other suites share this session and may have
+    // their own live caches
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val (df, skipped, release) = Tsv.readSkippingBadFiles(spark,
       Seq(bad.toString,
         dir.resolve("blockchair_bitcoin_blocks_20250820.tsv.gz").toString),
       BlockchairSchemas.blocks)
@@ -61,7 +64,12 @@ class TsvSpec extends SparkSpec {
     // parse, not a second file scan
     assert(df.queryExecution.optimizedPlan.toString
       .contains("InMemoryRelation"))
-    spark.catalog.clearCache()
+    // the release callback drops the per-file caches (unpersisting the
+    // union cannot reach them)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .subsetOf(cachedBefore),
+      "release() must drop the per-file caches")
     Files.delete(bad)
   }
 
@@ -71,12 +79,13 @@ class TsvSpec extends SparkSpec {
       Fixtures.blocksHeader + "\n" +
         Fixtures.blocksRows.head + "\n" +
         "garbage\trow\n")
-    val (df, skipped) = Tsv.readSkippingBadFiles(spark,
+    val (df, skipped, release) = Tsv.readSkippingBadFiles(spark,
       Seq(bad.toString,
         dir.resolve("blockchair_bitcoin_blocks_20250820.tsv.gz").toString),
       BlockchairSchemas.blocks)
     assert(skipped == Seq(bad.toString))
     assert(df.count() == 3)
+    release()
     Files.delete(bad)
   }
 
@@ -87,10 +96,14 @@ class TsvSpec extends SparkSpec {
     val other = d.resolve("README.txt")
     Files.writeString(oldF, "x"); Files.writeString(newF, "x")
     Files.writeString(other, "keep me")
+    val quarantined = d.resolve(
+      "blockchair_bitcoin_blocks_20250102.tsv.gz.corrupt")
+    Files.writeString(quarantined, "x")
     val deleted = Tsv.retentionSweep(d, retentionDays = 3,
       today = LocalDate.of(2025, 8, 20))
-    assert(deleted.map(_.getFileName.toString) ==
-      Seq("blockchair_bitcoin_blocks_20250101.tsv.gz"))
+    assert(deleted.map(_.getFileName.toString).sorted ==
+      Seq("blockchair_bitcoin_blocks_20250101.tsv.gz",
+        "blockchair_bitcoin_blocks_20250102.tsv.gz.corrupt"))
     assert(Files.exists(newF) && Files.exists(other))
   }
 
@@ -98,6 +111,10 @@ class TsvSpec extends SparkSpec {
     assert(Tsv.dailyFileUrl("https://example.test/dumps", "bitcoin",
       "blocks", LocalDate.of(2025, 8, 19)) ==
       "https://example.test/dumps/bitcoin/blocks/blockchair_bitcoin_blocks_20250819.tsv.gz")
+    // a configured API key rides as a query parameter
+    assert(Tsv.dailyFileUrl("https://example.test/dumps", "bitcoin",
+      "blocks", LocalDate.of(2025, 8, 19), Some("k123"))
+      .endsWith("blockchair_bitcoin_blocks_20250819.tsv.gz?key=k123"))
   }
 
   test("schema inference classifies the blocks fixture correctly") {

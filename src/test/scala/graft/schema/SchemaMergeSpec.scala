@@ -179,6 +179,11 @@ class SchemaMergeProps extends AnyFunSuite {
     // a table NAMED like a type must not parse as a column
     assert(parseDdl("CREATE TABLE DATE (A INTEGER);") ==
       Seq(ColumnSpec("A", SfInteger)))
+    // vendor types that merely PREFIX a lattice type are skipped, not
+    // misparsed (DATETIME ≠ DATE, TIMESTAMP_LTZ ≠ TIMESTAMP)
+    assert(parseDdl(
+      "CREATE TABLE t (S DATETIME, U TIMESTAMP_LTZ, A INTEGER);") ==
+      Seq(ColumnSpec("A", SfInteger)))
   }
 
   test("parseExisting: JSON dump wins over DDL text; absent both → empty") {
