@@ -186,6 +186,24 @@ class SchemaMergeProps extends AnyFunSuite {
       Seq(ColumnSpec("A", SfInteger)))
   }
 
+  test("render → parse identity over random schemas (200 trials)") {
+    val rnd = new scala.util.Random(20260812L)
+    val types: Seq[() => SfType] = Seq(
+      () => SfInteger, () => SfFloat, () => SfBoolean, () => SfDate,
+      () => SfTimestamp,
+      () => SfVarchar(varcharTiers(rnd.nextInt(varcharTiers.size))))
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(12)
+      val schema = (1 to n).map { i =>
+        ColumnSpec(s"C${i}_${rnd.alphanumeric.take(4).mkString.toUpperCase}",
+          types(rnd.nextInt(types.size))())
+      }
+      val ddl = renderDdl("t", schema)
+      assert(parseDdl(ddl) == schema, ddl)
+      assert(widen(parseDdl(ddl), schema) == Identical)
+    }
+  }
+
   test("parseExisting: JSON dump wins over DDL text; absent both → empty") {
     val json = renderJson(Seq(ColumnSpec("A", SfInteger)))
     val ddl = renderDdl("t", Seq(ColumnSpec("B", SfFloat)))
