@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time ..." trailer after runMain output: the driver
+// parses the LAST stdout line of `runMain graft.Bench` as JSON.
+Global / showSuccess := false
+// Pass forked-run stdout straight through (no "[info] " logger prefix) so
+// the bench JSON line is literally `{"metric":...}` — parseable as-is.
+outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,19 +34,32 @@ object Bench {
         }
         name -> dts.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+    // r1+r2 driver runs both recorded parsed:null: the full 85-query JSON
+    // line is ~4.5 KB, so its START falls outside the driver's stdout-tail
+    // window and the line never parses. The stdout line therefore carries
+    // only the headline queries (short enough to survive any tail window);
+    // the complete per-query map goes to bench_result.json.
+    val headline = Seq(
+      "q3_shipping_priority", "q5_local_supplier", "j2_composite_key",
+      "a1_sum_group", "w1_running_balance", "x13_sessionize",
+      "x12_range_join", "dedup_exact", "minhash_lsh_pairs",
+      "ann_cosine_topk", "heavy_hitters_tokens", "pipeline_clean_docs")
+    val shortQs = fmt(headline.flatMap(k => results.get(k).map(k -> _)))
+    val shortJson =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+    println(shortJson)
     spark.stop()
-    // r1's driver run recorded parsed:null — the JSON line drowned in
-    // Spark/sbt log tail. Emit it three ways: once before stop() (above),
-    // once as the true last stdout line after stop(), and to a file.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_result.json"),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
+      (fullJson + "\n").getBytes("UTF-8"))
+    // True last stdout line (build.sbt sets showSuccess := false so sbt
+    // appends no "[success] Total time" trailer after this).
+    println(shortJson)
   }
 }
