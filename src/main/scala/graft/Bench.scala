@@ -1,6 +1,55 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** One query's measurement: min of the timed executions, `failed` if ANY
+    * execution threw. A failed query reports -1.0, never the elapsed time
+    * of its failure path — a broken query must not bench as "fast". */
+  final case class Timing(secs: Double, failed: Boolean)
+
+  /** Locale-independent fixed-point rendering: the default-locale `f`
+    * interpolator emits "0,123" under comma-decimal locales (e.g. de_DE),
+    * which is invalid JSON. */
+  def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Time each query `runs` times (min reported — the host shows
+    * multi-second external load spikes; min measures capability, not that
+    * moment's noise), invoking `reset` after every run so state built
+    * inside one run cannot distort the next. */
+  def measure(queries: Seq[(String, () => Unit)], runs: Int,
+      reset: () => Unit): Map[String, Timing] =
+    queries.map { case (name, run) =>
+      val attempts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { run(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        reset()
+        (dt, ok)
+      }
+      val ok = attempts.forall(_._2)
+      name -> Timing(if (ok) attempts.map(_._1).min else -1.0, !ok)
+    }.toMap
+
+  /** One JSON line: total over SUCCEEDED queries, per-query seconds
+    * (failed ones carry -1.0), and an explicit `failed` name list.
+    * `names = Some(...)` restricts the per-query map (the stdout line must
+    * stay short enough to survive the driver's stdout-tail window) while
+    * total/failed always cover everything. */
+  def renderJson(results: Map[String, Timing], sf: String,
+      names: Option[Seq[String]]): String = {
+    val sel = names.fold(results.toSeq.sortBy(_._1))(ns =>
+      ns.flatMap(n => results.get(n).map(n -> _)))
+    val qs = sel.map { case (k, t) => "\"" + k + "\":" + num(t.secs) }
+      .mkString("{", ",", "}")
+    val failed = results.toSeq.filter(_._2.failed).map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.collect { case t if !t.failed => t.secs }.sum
+    s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""queries":$qs,"failed":$failed,"sf":"$sf"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,26 +68,14 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
-    // Stable order + per-query cache isolation: caches built inside one
-    // query must not distort the next query's measurement. Two timed
-    // runs, min reported — the host shows multi-second external load
-    // spikes, and min-of-2 measures capability, not that moment's noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val dts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          dt
-        }
-        name -> dts.min
-    }.toMap
-    def fmt(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // r1+r2 driver runs both recorded parsed:null: the full 85-query JSON
+    // Stable order + per-query cache isolation; two timed runs, min kept.
+    val results = measure(
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> (() => { fn(spark, sfDir).count(); () })
+      },
+      runs = 2,
+      reset = () => spark.catalog.clearCache())
+    // r1+r2 driver runs both recorded parsed:null: the full per-query JSON
     // line is ~4.5 KB, so its START falls outside the driver's stdout-tail
     // window and the line never parses. The stdout line therefore carries
     // only the headline queries (short enough to survive any tail window);
@@ -48,11 +85,8 @@ object Bench {
       "a1_sum_group", "w1_running_balance", "x13_sessionize",
       "x12_range_join", "dedup_exact", "minhash_lsh_pairs",
       "ann_cosine_topk", "heavy_hitters_tokens", "pipeline_clean_docs")
-    val shortQs = fmt(headline.flatMap(k => results.get(k).map(k -> _)))
-    val shortJson =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
-    val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+    val shortJson = renderJson(results, sfDir, Some(headline))
+    val fullJson = renderJson(results, sfDir, None)
     println(shortJson)
     spark.stop()
     java.nio.file.Files.write(

@@ -74,6 +74,54 @@ object Pipeline {
     write(bld.dimBlocks, "dim_blocks", Seq("block_id"))
   }
 
+  /** Incremental materialization of the date-closed model tables (the
+    * reference full-rebuilds its whole dbt DAG daily —
+    * transaction_tracing/README.md:14 — which stops being viable at
+    * 100 TB).
+    *
+    * `int_transaction_flows` and `fct_transaction_traces` are DATE-CLOSED:
+    * every output row derives from rows of exactly one block date (flows
+    * join a tx to its own block's inputs/outputs; the trace window
+    * partitions by transaction_hash, and a tx lives in one block). So a
+    * day-N run may recompute ONLY the affected `load_date` partitions —
+    * dynamic partition overwrite replaces those and leaves every other
+    * partition's files untouched (same machinery as
+    * [[graft.ingest.Tsv.landToParquetIdempotent]]).
+    *
+    * `int_address_balances_with_history` and the dims are NOT date-closed
+    * (running balances and lifetime aggregates span all history), so they
+    * rebuild whole via [[writeBuild]] — at 100 TB the balance table would
+    * instead checkpoint a per-address cumulative state and fold each new
+    * day into it (mapGroupsWithState shape), which trades exactness of
+    * late-arriving history for O(day) daily cost.
+    *
+    * `loadDates = None` writes every partition present in the build (the
+    * initial full materialization, same layout); `Some(dates)` restricts
+    * the rewrite to those YYYYMMDD partitions. A null tx_time (tx whose
+    * block is missing) lands in the '00000000' sentinel partition instead
+    * of being silently dropped by the date filter. */
+  def writeBuildIncremental(bld: Build, outDir: String,
+      loadDates: Option[Seq[String]] = None): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, date_format, lit}
+    def writeInc(df: DataFrame, name: String, timeCol: String,
+        cluster: Seq[String]): Unit = {
+      val dated = df.withColumn("load_date",
+        coalesce(date_format(col(timeCol), "yyyyMMdd"), lit("00000000")))
+      val scoped = loadDates.fold(dated)(ds =>
+        dated.filter(col("load_date").isin(ds: _*)))
+      scoped
+        .repartition(cluster.map(col): _*)
+        .sortWithinPartitions(cluster.map(col): _*)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("load_date").parquet(s"$outDir/$name")
+    }
+    writeInc(bld.intTransactionFlows, "int_transaction_flows", "tx_time",
+      Seq("transaction_hash", "tx_time"))
+    writeInc(bld.fctTransactionTraces, "fct_transaction_traces", "tx_time",
+      Seq("source_address", "destination_address", "tx_time"))
+  }
+
   /** Read the five raw tables from a directory of TSV files
     * (blockchair_{coin}_{type}_{date}.tsv[.gz] naming). Routing is done
     * with a token-specific file glob so each table parses ONLY its own

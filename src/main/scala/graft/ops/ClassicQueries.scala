@@ -92,6 +92,115 @@ object ClassicQueries extends QueryModule {
               WHERE r_name = 'ASIA'
               GROUP BY 1 ORDER BY revenue DESC, n_name""")),
 
+    // ---- TPC-H Q18 shape: large-volume customers — a having-sum
+    //      semi-join (orders restricted to those whose lineitems sum past
+    //      a quantity threshold), then the customer/orders/lineitem
+    //      rollup. The semi input is a map-side-combinable hash aggregate
+    //      over the fact table alone; only qualifying orders reach the
+    //      three-way join. Threshold 250 ≈ p99 of per-order quantity sums
+    //      in the synthetic data (TPC-H uses 300 at its own scale).
+    Q("q18_large_volume",
+      (s, d) => {
+        val l = lineitem(s, d)
+        val big = l.groupBy("l_orderkey")
+          .agg(sum(dec(col("l_quantity"))).as("qsum"))
+          .filter(col("qsum") > 250)
+          .select(col("l_orderkey").as("o_orderkey"))
+        val o = orders(s, d).join(big, Seq("o_orderkey"), "left_semi")
+        val c = customer(s, d)
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(decSum(col("l_quantity")).as("sum_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(100)
+      },
+      Some(s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                o_totalprice, ${sqlDecSum("l_quantity")} AS sum_qty
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+              GROUP BY 1, 2, 3, 4, 5
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ---- TPC-H Q21 shape: the semi + anti chain. The reference schema
+    //      lacks commit/receipt dates, so "late" is re-expressed on the
+    //      columns available: suppliers with a returned ('R') line in a
+    //      finalized multi-supplier order where NO other supplier had a
+    //      returned line — same EXISTS + NOT EXISTS decorrelation workout
+    //      (two self-joins on the fact with an inequality residual).
+    Q("q21_sole_blame",
+      (s, d) => {
+        val l = lineitem(s, d)
+        val l1 = l.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val fOrders = orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
+        val l2 = l.select(col("l_orderkey").as("k2"),
+          col("l_suppkey").as("s2"))
+        val l3 = l.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        val base = l1.join(fOrders,
+          col("l_orderkey") === col("o_orderkey")).drop("o_orderkey")
+        val semi = base.join(l2,
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        val anti = semi.join(l3,
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        anti.join(broadcast(supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name")).limit(100)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+              FROM lineitem l1
+              JOIN orders ON o_orderkey = l1.l_orderkey
+              JOIN supplier ON s_suppkey = l1.l_suppkey
+              WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+                AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+              GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""")),
+
+    // ---- TPC-H Q2 shape: correlated-min subquery — for each part, the
+    //      lineitem rows at that part's minimum extended price (the Q2
+    //      min-supplycost pattern on the tables available). Runs through
+    //      SQL so Catalyst's decorrelation rewrites the correlated scalar
+    //      subquery into an aggregate + join; double equality is safe
+    //      because both engines compare the same unarithmetized values.
+    Q("q2_min_price_part",
+      (s, d) => {
+        part(s, d).createOrReplaceTempView("graft_part_q2")
+        lineitem(s, d).createOrReplaceTempView("graft_lineitem_q2")
+        s.sql("""SELECT p.p_partkey, p.p_name, l.l_suppkey,
+                   l.l_extendedprice AS min_price
+                 FROM graft_part_q2 p
+                 JOIN graft_lineitem_q2 l ON l.l_partkey = p.p_partkey
+                 WHERE l.l_extendedprice = (
+                   SELECT MIN(l2.l_extendedprice)
+                   FROM graft_lineitem_q2 l2
+                   WHERE l2.l_partkey = p.p_partkey)""")
+      },
+      Some("""SELECT p.p_partkey, p.p_name, l.l_suppkey,
+                l.l_extendedprice AS min_price
+              FROM part p
+              JOIN lineitem l ON l.l_partkey = p.p_partkey
+              WHERE l.l_extendedprice = (
+                SELECT MIN(l2.l_extendedprice)
+                FROM lineitem l2
+                WHERE l2.l_partkey = p.p_partkey)""")),
+
     // ---- rank family over event values per user (rank/dense_rank are
     //      deterministic under ties; percent_rank is exact rational math).
     Q("x5_rank_windows",

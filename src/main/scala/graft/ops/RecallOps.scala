@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quantitative gates for the approximate operators: each rows-only
+  * query joins an approximate result to its exact (oracle-verified) twin
+  * and emits ONE row — `(n_exact, n_hit, recall, threshold)` — filtered to
+  * `recall >= threshold`. The driver's rows-only check therefore becomes a
+  * real quality gate: 1 row ⟺ the approximation still finds its stated
+  * share of the exact answer; a silent quality regression yields 0 rows
+  * and fails the gate. Thresholds are calibrated against the measured
+  * sf0.01/sf0.1 recall (see AnnRecallSpec for the geometry rationale:
+  * the synthetic embeddings are nearly unclustered, so ANN recall pins
+  * "far above the random-probe floor", not clustered-corpus recall).
+  *
+  * Everything is a distributed join + count — no collect, no state; at
+  * 100 TB the same queries run as-is (the exact ANN twin is the only
+  * quadratic piece, and it exists precisely to be the labeled baseline).
+  */
+object RecallOps extends QueryModule {
+
+  /** One-row recall readout of `approx` against `exact` on `keys`.
+    * Both inputs carry unique key tuples (top-k rows / distinct pairs),
+    * so the left join cannot duplicate exact rows. */
+  private def recallRow(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String], threshold: Double): DataFrame = {
+    val hits = approx.select(keys.map(col): _*).withColumn("hit", lit(1))
+    exact.select(keys.map(col): _*)
+      .join(hits, keys, "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+      .withColumn("threshold", lit(threshold))
+      .filter(col("recall") >= col("threshold"))
+  }
+
+  private val annKeys = Seq("query_id", "vec_id")
+  private val pairKeys = Seq("doc_a", "doc_b")
+
+  def all: Seq[Q] = Seq(
+
+    // Multi-table LSH vs brute-force cosine top-10. 8 tables × 6 bits on
+    // weakly-correlated 64-dim vectors probes ~10% of the corpus; theory
+    // puts neighbor collision near 0.2–0.3 — the gate pins "well above
+    // the probed fraction", i.e. the index concentrates true neighbors.
+    Q("ann_lsh_recall",
+      (s, d) => recallRow(
+        VectorOps.queries("ann_cosine_topk")(s, d),
+        VectorOps.queries("ann_lsh_topk")(s, d),
+        annKeys, threshold = 0.15),
+      None),
+
+    // IVF (nprobe=2 of 10 label-seeded cells) vs brute-force top-10.
+    Q("ann_ivf_recall",
+      (s, d) => recallRow(
+        VectorOps.queries("ann_cosine_topk")(s, d),
+        ScaleOps.queries("ann_ivf_topk")(s, d),
+        annKeys, threshold = 0.3),
+      None),
+
+    // Production MinHash+LSH (xxhash64 family) vs the portable-hash
+    // pipeline that is itself hash-verified end-to-end against DuckDB —
+    // two independent 16-hash families estimating the same Jaccard must
+    // agree on the high-similarity pairs.
+    Q("minhash_lsh_recall",
+      (s, d) => recallRow(
+        PortableHashOps.queries("minhash_oracle_pairs")(s, d),
+        TextOps.queries("minhash_lsh_pairs")(s, d),
+        pairKeys, threshold = 0.8),
+      None)
+  )
+}

@@ -42,14 +42,20 @@ object TraceOps extends QueryModule {
 
   /** Bounded multi-hop trace: anchor = edges from `source`; step joins the
     * frontier's dst to edges' src. UNION ALL accumulation → per-(hop,edge)
-    * path multiplicity, aggregated at the end. */
+    * path multiplicity, aggregated at the end.
+    *
+    * No broadcast hint on the edge side: a hard-coded `broadcast(e)` is a
+    * driver OOM at real edge cardinality. The join strategy is left to the
+    * planner — size estimation (and AQE at runtime) broadcasts small edge
+    * sets on its own, and falls back to a shuffle join when the edges
+    * outgrow the threshold, which is exactly the degradation wanted. */
   def trace(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
     val e = edges.cache()
     var frontier = e.filter(col("src") === source).withColumn("hop", lit(1))
     var acc = frontier
     for (h <- 2 to maxHops) {
       frontier = frontier.select(col("dst").as("prev_dst"))
-        .join(broadcast(e), col("prev_dst") === col("src"))
+        .join(e, col("prev_dst") === col("src"))
         .select(col("src"), col("dst")).withColumn("hop", lit(h))
       acc = acc.unionByName(frontier)
     }
@@ -111,6 +117,36 @@ object TraceOps extends QueryModule {
                 WHERE t.hop < 3)
               SELECT hop, src, dst, COUNT(*) AS paths
               FROM trace_path GROUP BY 1, 2, 3""")),
+
+    // The dashboard's Sankey readout (app.py:418-434): collapse the trace
+    // result into source→destination flow weights — per-edge path count
+    // summed over hops, top edges only. Completes dashboard parity: every
+    // reference readout now has a registered query. ORDER BY carries a
+    // (src, dst) tiebreak — (src, dst) is unique after the final group, so
+    // the LIMIT is total-order deterministic.
+    Q("trace_sankey_agg",
+      (s, d) => trace(edgeSet(s, d), source = 7L, maxHops = 3)
+        .groupBy("src", "dst")
+        .agg(sum(col("paths")).as("flow_weight"),
+          count(lit(1)).as("n_hops"))
+        .orderBy(desc("flow_weight"), asc("src"), asc("dst"))
+        .limit(20),
+      Some("""WITH RECURSIVE edges AS (
+                SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
+                FROM events),
+              trace_path AS (
+                SELECT src, dst, 1 AS hop FROM edges WHERE src = 7
+                UNION ALL
+                SELECT e.src, e.dst, t.hop + 1
+                FROM trace_path t JOIN edges e ON t.dst = e.src
+                WHERE t.hop < 3),
+              agg AS (
+                SELECT hop, src, dst, COUNT(*) AS paths
+                FROM trace_path GROUP BY 1, 2, 3)
+              SELECT src, dst, CAST(SUM(paths) AS BIGINT) AS flow_weight,
+                COUNT(*) AS n_hops
+              FROM agg GROUP BY 1, 2
+              ORDER BY flow_weight DESC, src, dst LIMIT 20""")),
 
     // J6: the fallback wrapper — same result as the plain trace when no
     // failure occurs (2 hops keeps the bench cost distinct from j5).

@@ -1,0 +1,98 @@
+package graft.models
+
+import graft.{Fixtures, SparkSpec}
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Incremental materialization: a day-2 build must rewrite ONLY the day-2
+  * `load_date` partitions of the date-closed tables — byte-untouched day-1
+  * files, identical full-table content vs a full rebuild. */
+class IncrementalBuildSpec extends SparkSpec {
+
+  /** Day-2 rows derived from the day-1 fixtures: new block ids (2xx), new
+    * tx hashes (uN), times shifted 2025-08-* → 2025-09-*. Replacements are
+    * anchored (row-leading block id, tab-delimited hash) so no other field
+    * can be clipped. */
+  private def shiftDay(rows: Seq[String]): Seq[String] =
+    rows.map(_.replaceFirst("^100\t", "200\t")
+      .replaceFirst("^101\t", "201\t")
+      .replace("\t2025-08-", "\t2025-09-")
+      .replace("\tt1\t", "\tu1\t")
+      .replace("\tt2\t", "\tu2\t")
+      .replace("\tt3\t", "\tu3\t"))
+
+  private lazy val dirs: (Path, Path) = {
+    val raw = Files.createTempDirectory("graft-incr-raw")
+    Fixtures.writeAll(raw) // day 1 (20250820), incl. the address snapshot
+    def w(name: String, header: String, rows: Seq[String]): Unit =
+      Files.writeString(raw.resolve(name),
+        (header +: rows).mkString("\n") + "\n")
+    w("blockchair_bitcoin_blocks_20250920.tsv",
+      Fixtures.blocksHeader, shiftDay(Fixtures.blocksRows))
+    w("blockchair_bitcoin_transactions_20250920.tsv",
+      Fixtures.txHeader, shiftDay(Fixtures.txRows))
+    w("blockchair_bitcoin_inputs_20250920.tsv",
+      Fixtures.inputsHeader, shiftDay(Fixtures.inputsRows))
+    w("blockchair_bitcoin_outputs_20250920.tsv",
+      Fixtures.outputsHeader, shiftDay(Fixtures.outputsRows))
+    (raw, Files.createTempDirectory("graft-incr-out"))
+  }
+
+  private def snapshot(p: Path): Map[String, Long] =
+    scala.util.Using(Files.list(p)) {
+      _.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          Files.getLastModifiedTime(f).toMillis)
+        .toMap
+    }.get
+
+  test("day-2 incremental build rewrites only day-2 partitions") {
+    val (raw, out) = dirs
+    val bld = Pipeline.readRaw(spark, raw.toString)
+    Pipeline.writeBuildIncremental(bld, out.toString) // initial full build
+
+    for (table <- Seq("int_transaction_flows", "fct_transaction_traces")) {
+      val day1 = out.resolve(table).resolve("load_date=20250820")
+      val day2 = out.resolve(table).resolve("load_date=20250920")
+      assert(Files.isDirectory(day1), s"$table missing day-1 partition")
+      assert(Files.isDirectory(day2), s"$table missing day-2 partition")
+    }
+    val flowsDir = out.resolve("int_transaction_flows")
+    val d1Before = snapshot(flowsDir.resolve("load_date=20250820"))
+    val d2Before = snapshot(flowsDir.resolve("load_date=20250920"))
+    val fullContent = spark.read.parquet(flowsDir.toString)
+      .select("transaction_hash", "input_address", "output_address",
+        "load_date")
+      .collect().map(_.toString).sorted
+    assert(fullContent.length == 12) // 6 edges per day
+
+    Thread.sleep(1100) // step past filesystem mtime granularity
+    Pipeline.writeBuildIncremental(bld, out.toString,
+      loadDates = Some(Seq("20250920")))
+
+    assert(snapshot(flowsDir.resolve("load_date=20250820")) == d1Before,
+      "day-1 partition files were rewritten by the day-2 build")
+    assert(snapshot(flowsDir.resolve("load_date=20250920")) != d2Before,
+      "day-2 partition was not rewritten")
+    val after = spark.read.parquet(flowsDir.toString)
+      .select("transaction_hash", "input_address", "output_address",
+        "load_date")
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(fullContent),
+      "incremental rewrite changed table content vs the full build")
+  }
+
+  test("day-2 partitions contain exactly the day-2 transactions") {
+    val (raw, out) = dirs
+    val bld = Pipeline.readRaw(spark, raw.toString)
+    Pipeline.writeBuildIncremental(bld, out.toString)
+    val day2 = spark.read
+      .parquet(out.resolve("int_transaction_flows").toString)
+      .where(org.apache.spark.sql.functions.col("load_date") === "20250920")
+    val hashes = day2.select("transaction_hash").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(hashes == Set("u1", "u2", "u3"))
+    assert(day2.count() == 6) // same fan-out as day 1: 4 + 1 + 1
+  }
+}
