@@ -180,17 +180,17 @@ object ClassicQueries extends QueryModule {
     //      subquery into an aggregate + join; double equality is safe
     //      because both engines compare the same unarithmetized values.
     Q("q2_min_price_part",
-      (s, d) => {
-        part(s, d).createOrReplaceTempView("graft_part_q2")
-        lineitem(s, d).createOrReplaceTempView("graft_lineitem_q2")
-        s.sql("""SELECT p.p_partkey, p.p_name, l.l_suppkey,
-                   l.l_extendedprice AS min_price
-                 FROM graft_part_q2 p
-                 JOIN graft_lineitem_q2 l ON l.l_partkey = p.p_partkey
-                 WHERE l.l_extendedprice = (
-                   SELECT MIN(l2.l_extendedprice)
-                   FROM graft_lineitem_q2 l2
-                   WHERE l2.l_partkey = p.p_partkey)""")
+      (s, d) => Sql.withView(s, part(s, d), "graft_part_q2") { vp =>
+        Sql.withView(s, lineitem(s, d), "graft_lineitem_q2") { vl =>
+          s.sql(s"""SELECT p.p_partkey, p.p_name, l.l_suppkey,
+                     l.l_extendedprice AS min_price
+                   FROM $vp p
+                   JOIN $vl l ON l.l_partkey = p.p_partkey
+                   WHERE l.l_extendedprice = (
+                     SELECT MIN(l2.l_extendedprice)
+                     FROM $vl l2
+                     WHERE l2.l_partkey = p.p_partkey)""")
+        }
       },
       Some("""SELECT p.p_partkey, p.p_name, l.l_suppkey,
                 l.l_extendedprice AS min_price

@@ -81,19 +81,18 @@ object Extensions extends QueryModule {
     //      decision is exact in both engines (a float AVG could flip a
     //      row that sits on the mean).
     Q("x22_scalar_subquery",
-      (s, d) => {
-        orders(s, d).createOrReplaceTempView("graft_orders_ss")
-        s.sql("""SELECT o_orderkey, o_custkey
-                 FROM graft_orders_ss o
+      (s, d) => Sql.withView(s, orders(s, d), "graft_orders_ss") { v =>
+        s.sql(s"""SELECT o_orderkey, o_custkey
+                 FROM $v o
                  WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
-                     (SELECT COUNT(*) FROM graft_orders_ss) >
+                     (SELECT COUNT(*) FROM $v) >
                    (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-                    FROM graft_orders_ss)
+                    FROM $v)
                    AND CAST(o_totalprice AS DECIMAL(18,6)) *
-                     (SELECT COUNT(*) FROM graft_orders_ss o2
+                     (SELECT COUNT(*) FROM $v o2
                       WHERE o2.o_custkey = o.o_custkey) >
                    (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
-                    FROM graft_orders_ss o2
+                    FROM $v o2
                     WHERE o2.o_custkey = o.o_custkey)""")
       },
       Some("""SELECT o_orderkey, o_custkey
@@ -114,13 +113,12 @@ object Extensions extends QueryModule {
     //      rollup/cube so this goes through spark.sql. grouping() is cast
     //      to INT on both engines (Spark emits TINYINT, DuckDB BIGINT).
     Q("x20_grouping_sets",
-      (s, d) => {
-        orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      (s, d) => Sql.withView(s, orders(s, d), "graft_orders_gs") { v =>
         s.sql(s"""SELECT o_orderstatus, o_orderpriority,
                    CAST(grouping(o_orderstatus) AS INT) AS g_status,
                    CAST(grouping(o_orderpriority) AS INT) AS g_prio,
                    COUNT(*) AS n
-                 FROM graft_orders_gs
+                 FROM $v
                  GROUP BY GROUPING SETS ((o_orderstatus),
                    (o_orderpriority), ())""")
       },

@@ -12,6 +12,21 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** SQL-expressed queries need a catalog name for their input; a FIXED view
+  * name collides when two suites (or two sf dirs) share one session. This
+  * registers the input under a per-invocation unique name and drops it
+  * once the plan is built — `spark.sql` resolves the view during eager
+  * analysis, so the returned Dataset no longer needs the catalog entry. */
+object Sql {
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+  def withView(s: SparkSession, df: DataFrame, prefix: String)
+      (body: String => DataFrame): DataFrame = {
+    val name = s"${prefix}_${ctr.incrementAndGet()}"
+    df.createOrReplaceTempView(name)
+    try body(name) finally s.catalog.dropTempView(name)
+  }
+}
+
 trait QueryModule {
   def all: Seq[Q]
   final def queries: Map[String, (SparkSession, String) => DataFrame] =

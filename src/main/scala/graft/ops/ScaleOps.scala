@@ -22,13 +22,22 @@ object ScaleOps extends QueryModule {
     * runtime; explicit salting remains the tool when the skew is known
     * up front, when AQE is off, or for aggregate-then-join pipelines. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
+      salts: Int): DataFrame =
+    saltFact(fact, salts).join(saltDim(dim, salts), Seq(key, "_salt"))
+      .drop("_salt")
+
+  /** Probe side of the salted decomposition: each fact row gets one of
+    * `salts` pseudo-random salts, so a hot key's rows spread uniformly
+    * over `salts` reducers. Exposed for distribution tests and for
+    * aggregate-then-join pipelines that salt once and reuse. */
+  def saltFact(fact: DataFrame, salts: Int): DataFrame =
+    fact.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
-    val saltedDim = dim.withColumn("_salt",
+
+  /** Build side: replicated once per salt value. */
+  def saltDim(dim: DataFrame, salts: Int): DataFrame =
+    dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
-  }
 
   def all: Seq[Q] = Seq(
 

@@ -92,11 +92,10 @@ object TraceOps extends QueryModule {
     // The same traversal as j5 through Spark's native recursive CTE —
     // the SQL text is (modulo the view name) the oracle's own.
     Q("j9_trace_recursive_cte",
-      (s, d) => {
-        events(s, d).createOrReplaceTempView("graft_events_cte")
-        s.sql("""WITH RECURSIVE edges AS (
+      (s, d) => Sql.withView(s, events(s, d), "graft_events_cte") { v =>
+        s.sql(s"""WITH RECURSIVE edges AS (
                    SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
-                   FROM graft_events_cte),
+                   FROM $v),
                  trace_path AS (
                    SELECT src, dst, 1 AS hop FROM edges WHERE src = 7
                    UNION ALL

@@ -93,6 +93,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial"), p.take(1500))
   }
 
+  test("q18: having-sum filter runs as a semi-join after a partial agg") {
+    val p = plan("q18_large_volume")
+    // the qualifying-orders set joins semi (orders are filtered, not
+    // widened), and the quantity-sum aggregate is two-phase so the
+    // having filter's input is map-side combined before its exchange
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q21: the EXISTS/NOT EXISTS chain plans as semi + anti joins") {
+    val p = plan("q21_sole_blame")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    // the supplier dim stays broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q2: the correlated-min subquery is decorrelated to an aggregate" +
+    " join (no per-row subquery execution)") {
+    val df = graft.SparkEntry.queries("q2_min_price_part")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // decorrelation success = no correlated ScalarSubquery survives in
+    // the optimized plan; the min becomes a grouped aggregate + join
+    assert(!opt.contains("scalar-subquery"), opt.take(1500))
+    assert(opt.contains("Aggregate"), opt.take(1500))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Subquery"), p.take(1500))
+  }
+
   test("a2 scale variant: approx_count_distinct plans without expand") {
     import org.apache.spark.sql.functions._
     val li = graft.Tables.lineitem(spark, sf)
