@@ -185,7 +185,10 @@ object Models {
     *
     * Scale: the window and the join both partition by address — one
     * shuffle, reused. */
-  def intAddressBalances(stgAddresses: DataFrame, stgInputs: DataFrame,
+  /** The signed balance-change stream (P6 sign-flip + U1 union) — single-
+    * sourced so the full rebuild and the incremental day-fold
+    * ([[foldBalancesDay]]) cannot diverge on sign or column conventions. */
+  private[models] def balanceChanges(stgInputs: DataFrame,
       stgOutputs: DataFrame): DataFrame = {
     val debits = stgInputs.select(
       col("recipient").as("address"), col("time"),
@@ -199,7 +202,12 @@ object Models {
       col("value_btc").as("value_change_btc"),
       col("value_usd").as("value_change_usd"),
       col("transaction_hash"))
-    val changes = debits.unionByName(credits)
+    debits.unionByName(credits)
+  }
+
+  def intAddressBalances(stgAddresses: DataFrame, stgInputs: DataFrame,
+      stgOutputs: DataFrame): DataFrame = {
+    val changes = balanceChanges(stgInputs, stgOutputs)
     val joined = stgAddresses.join(changes, Seq("address"), "left")
     val w = Window.partitionBy("address").orderBy("time")
     joined.select(
@@ -211,6 +219,80 @@ object Models {
       sum(col("value_change_usd")).over(w).as("running_balance_usd"),
       col("balance_sats").as("current_balance_sats"),
       col("balance_btc").as("current_balance_btc"))
+  }
+
+  /** Compact per-address checkpoint of the balance history: cumulative
+    * change totals + latest time seen. O(addresses) rows regardless of
+    * history depth — everything [[foldBalancesDay]] needs. */
+  def balanceState(stgInputs: DataFrame, stgOutputs: DataFrame): DataFrame =
+    balanceChanges(stgInputs, stgOutputs).groupBy("address").agg(
+      max("time").as("last_time"),
+      sum("value_change_sats").as("cum_sats"),
+      sum("value_change_btc").as("cum_btc"),
+      sum("value_change_usd").as("cum_usd"))
+
+  /** O(day) incremental balance history — the scale path the full-rebuild
+    * scaladoc above promises. Folds ONE new day of inputs/outputs into the
+    * checkpointed [[balanceState]]: running balance = checkpointed
+    * cumulative + the RANGE-frame prefix sum within the day. Returns
+    * `(dayHistoryRows, newState)`; the history rows carry exactly the
+    * [[intAddressBalances]] activity-row schema, the state feeds day N+1.
+    *
+    * Cost: one shuffle of the DAY's changes by address (window + state
+    * join share it) against a state table of O(addresses) — versus the
+    * full rebuild's shuffle of ALL history every day.
+    *
+    * Fails fast (one counting job) if any new row's time is at or before
+    * its address's checkpointed `last_time`: running balances are prefix
+    * sums, so late-arriving history cannot fold — those addresses must be
+    * rebuilt from full history instead (the RANGE tie frame would have
+    * merged equal-time rows that the checkpoint already folded). */
+  def foldBalancesDay(state: DataFrame, stgAddresses: DataFrame,
+      dayInputs: DataFrame, dayOutputs: DataFrame): (DataFrame, DataFrame) = {
+    // the full rebuild anchors on the address snapshot (left join FROM
+    // addresses) — changes for addresses outside it are dropped there,
+    // so drop them here too
+    val changes = balanceChanges(dayInputs, dayOutputs)
+      .join(stgAddresses.select(col("address"),
+        col("balance_sats"), col("balance_btc")), Seq("address"))
+    val st = state.select(col("address"), col("last_time"),
+      col("cum_sats"), col("cum_btc"), col("cum_usd"))
+    val joined = changes.join(st, Seq("address"), "left")
+    val late = joined.filter(col("last_time").isNotNull &&
+      col("time") <= col("last_time")).count()
+    require(late == 0L,
+      s"$late change rows at or before the checkpointed last_time — " +
+        "late history cannot fold incrementally; rebuild those addresses")
+    val w = Window.partitionBy("address").orderBy("time")
+    val hist = joined.select(
+      col("address"), col("time"), col("transaction_hash"),
+      col("value_change_sats"), col("value_change_btc"),
+      col("value_change_usd"),
+      (coalesce(col("cum_sats"), lit(0L)) +
+        sum("value_change_sats").over(w)).as("running_balance_sats"),
+      (coalesce(col("cum_btc"), lit(0.0)) +
+        sum("value_change_btc").over(w)).as("running_balance_btc"),
+      (coalesce(col("cum_usd"), lit(0.0)) +
+        sum("value_change_usd").over(w)).as("running_balance_usd"),
+      col("balance_sats").as("current_balance_sats"),
+      col("balance_btc").as("current_balance_btc"))
+    val dayTotals = changes.groupBy("address").agg(
+      max("time").as("day_last"),
+      sum("value_change_sats").as("day_sats"),
+      sum("value_change_btc").as("day_btc"),
+      sum("value_change_usd").as("day_usd"))
+    // full outer: untouched addresses keep their state, new ones enter.
+    // day_last (when present) is later than last_time by the gate above.
+    val newState = st.join(dayTotals, Seq("address"), "full")
+      .select(col("address"),
+        coalesce(col("day_last"), col("last_time")).as("last_time"),
+        (coalesce(col("cum_sats"), lit(0L)) +
+          coalesce(col("day_sats"), lit(0L))).as("cum_sats"),
+        (coalesce(col("cum_btc"), lit(0.0)) +
+          coalesce(col("day_btc"), lit(0.0))).as("cum_btc"),
+        (coalesce(col("cum_usd"), lit(0.0)) +
+          coalesce(col("day_usd"), lit(0.0))).as("cum_usd"))
+    (hist, newState)
   }
 
   // ===== marts (tables) =====

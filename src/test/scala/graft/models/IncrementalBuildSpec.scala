@@ -9,17 +9,7 @@ import scala.jdk.CollectionConverters._
   * files, identical full-table content vs a full rebuild. */
 class IncrementalBuildSpec extends SparkSpec {
 
-  /** Day-2 rows derived from the day-1 fixtures: new block ids (2xx), new
-    * tx hashes (uN), times shifted 2025-08-* → 2025-09-*. Replacements are
-    * anchored (row-leading block id, tab-delimited hash) so no other field
-    * can be clipped. */
-  private def shiftDay(rows: Seq[String]): Seq[String] =
-    rows.map(_.replaceFirst("^100\t", "200\t")
-      .replaceFirst("^101\t", "201\t")
-      .replace("\t2025-08-", "\t2025-09-")
-      .replace("\tt1\t", "\tu1\t")
-      .replace("\tt2\t", "\tu2\t")
-      .replace("\tt3\t", "\tu3\t"))
+  import FixtureDays.shiftDay
 
   private lazy val dirs: (Path, Path) = {
     val raw = Files.createTempDirectory("graft-incr-raw")
