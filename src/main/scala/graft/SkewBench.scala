@@ -32,26 +32,16 @@ object SkewBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.Tables._
 
-    // Skewed probe: every even orderkey collapses onto key 1 (~50% of
-    // rows), amplified ×10 so the straggler task is measurable on
-    // local[32]. Deterministic — no rand().
-    def skewedFact: DataFrame = lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_extendedprice"))
-      .withColumn("_rep", explode(sequence(lit(1), lit(10))))
-      .drop("_rep")
-      .withColumn("k", when(col("l_orderkey") % 2 === 0, lit(1L))
-        .otherwise(col("l_orderkey")))
-
-    // Unique-key build side over the same key domain (too big to matter
-    // as a broadcast here only because we disable broadcast — the point
-    // is the shuffle-join regime).
-    def dim: DataFrame = orders(spark, sfDir)
-      .select(when(col("o_orderkey") % 2 === 0, lit(1L))
-        .otherwise(col("o_orderkey")).as("k"))
-      .distinct()
-      .withColumn("payload", pmod(col("k"), lit(97)).cast("double"))
+    // Shared fixture (ScaleOps.skewedFixture — SkewSpec pins the same
+    // shape): half the probe rows on ONE key, amplified ×10 so the
+    // straggler task is measurable on local[32]; unique-key build side.
+    // Broadcast is disabled in the measured arms — the point is the
+    // shuffle-join regime where the build side is too big to broadcast.
+    def skewedFact: DataFrame =
+      graft.ops.ScaleOps.skewedFixture(spark, sfDir, amplify = 10)._1
+    def dim: DataFrame =
+      graft.ops.ScaleOps.skewedFixture(spark, sfDir, amplify = 10)._2
 
     // Per-joined-row work heavy enough that reduce-side cost dominates
     // the (identical) scan cost of each arm — sha2 stands in for the real
@@ -59,13 +49,18 @@ object SkewBench {
     // the reducer that owns the key: exactly where the straggler forms.
     // The final select CONSUMES the hashed sum — a bare .count() would let
     // Catalyst prune the unused aggregate and skip the work entirely.
-    def run(j: DataFrame): Long = j.groupBy("k")
-      .agg(sum(length(sha2(repeat(concat_ws(",", col("k"),
-        col("l_extendedprice"), col("payload")), 8), 256))).as("h"))
-      .select(max(col("h")).as("m"), count(lit(1)).as("n"))
-      .collect()(0).getAs[Long]("n")
+    // Returns (group count, total hashed mass): the mass is 64 × joined
+    // rows, so the pair detects both lost groups AND duplicated rows.
+    def run(j: DataFrame): (Long, Long) = {
+      val r = j.groupBy("k")
+        .agg(sum(length(sha2(repeat(concat_ws(",", col("k"),
+          col("l_extendedprice"), col("payload")), 8), 256))).as("h"))
+        .select(count(lit(1)).as("n"), sum(col("h")).as("m"))
+        .collect()(0)
+      (r.getAs[Long]("n"), r.getAs[Long]("m"))
+    }
 
-    def time(thunk: () => Long): Double =
+    def time(thunk: () => (Long, Long)): Double =
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         thunk()
@@ -87,11 +82,11 @@ object SkewBench {
 
     run(skewedFact.join(dim, Seq("k"))) // warmup: JIT + codegen
 
-    val plainRows = run(skewedFact.join(dim, Seq("k")))
-    val saltedRows =
+    val plainRes = run(skewedFact.join(dim, Seq("k")))
+    val saltedRes =
       run(graft.ops.ScaleOps.saltedJoin(skewedFact, dim, "k", salts))
-    require(plainRows == saltedRows,
-      s"salted join changed the result: $plainRows vs $saltedRows")
+    require(plainRes == saltedRes,
+      s"salted join changed the result: $plainRes vs $saltedRes")
 
     val plain = withConf(noMitigation: _*) {
       time(() => run(skewedFact.join(dim, Seq("k"))))
@@ -107,7 +102,7 @@ object SkewBench {
       s""""plain_smj":${Bench.num(plain)},""" +
       s""""salted":${Bench.num(salted)},""" +
       s""""plain_aqe_skew":${Bench.num(aqeSkew)},""" +
-      s""""groups":$plainRows}""")
+      s""""groups":${plainRes._1}}""")
     spark.stop()
   }
 }

@@ -178,13 +178,6 @@ object Models {
         col("reward_btc").as("block_reward_btc"))
   }
 
-  /** int_address_balances_with_history
-    * (models/intermediate/int_address_balances_with_history.sql:8-50):
-    * P6 sign-flip + U1 union + J3 left join + W1 running balances with the
-    * default RANGE frame (ties in time share the cumulative value).
-    *
-    * Scale: the window and the join both partition by address — one
-    * shuffle, reused. */
   /** The signed balance-change stream (P6 sign-flip + U1 union) — single-
     * sourced so the full rebuild and the incremental day-fold
     * ([[foldBalancesDay]]) cannot diverge on sign or column conventions. */
@@ -205,6 +198,13 @@ object Models {
     debits.unionByName(credits)
   }
 
+  /** int_address_balances_with_history
+    * (models/intermediate/int_address_balances_with_history.sql:8-50):
+    * P6 sign-flip + U1 union + J3 left join + W1 running balances with the
+    * default RANGE frame (ties in time share the cumulative value).
+    *
+    * Scale: the window and the join both partition by address — one
+    * shuffle, reused. */
   def intAddressBalances(stgAddresses: DataFrame, stgInputs: DataFrame,
       stgOutputs: DataFrame): DataFrame = {
     val changes = balanceChanges(stgInputs, stgOutputs)
@@ -223,9 +223,16 @@ object Models {
 
   /** Compact per-address checkpoint of the balance history: cumulative
     * change totals + latest time seen. O(addresses) rows regardless of
-    * history depth — everything [[foldBalancesDay]] needs. */
+    * history depth — everything [[foldBalancesDay]] needs.
+    *
+    * Null recipients (coinbase inputs) are NOT addresses and are excluded:
+    * the full rebuild's address-anchored join can never emit them, and a
+    * null key would silently split in the fold's state join (groupBy
+    * treats nulls as one group; joins match no null to no null). */
   def balanceState(stgInputs: DataFrame, stgOutputs: DataFrame): DataFrame =
-    balanceChanges(stgInputs, stgOutputs).groupBy("address").agg(
+    balanceChanges(stgInputs, stgOutputs)
+      .filter(col("address").isNotNull)
+      .groupBy("address").agg(
       max("time").as("last_time"),
       sum("value_change_sats").as("cum_sats"),
       sum("value_change_btc").as("cum_btc"),
@@ -249,12 +256,14 @@ object Models {
     * merged equal-time rows that the checkpoint already folded). */
   def foldBalancesDay(state: DataFrame, stgAddresses: DataFrame,
       dayInputs: DataFrame, dayOutputs: DataFrame): (DataFrame, DataFrame) = {
-    // the full rebuild anchors on the address snapshot (left join FROM
-    // addresses) — changes for addresses outside it are dropped there,
-    // so drop them here too
+    // One materialization serves the late-row gate, the history rows, and
+    // the state advance (lineage-truncated local checkpoint; without it
+    // each of the three downstream jobs would re-derive the day's changes
+    // from the raw inputs). Executor-local blocks only — fine for a
+    // single-JVM daily job; a multi-node run would persist+release.
     val changes = balanceChanges(dayInputs, dayOutputs)
-      .join(stgAddresses.select(col("address"),
-        col("balance_sats"), col("balance_btc")), Seq("address"))
+      .filter(col("address").isNotNull) // match balanceState's exclusion
+      .localCheckpoint(true)
     val st = state.select(col("address"), col("last_time"),
       col("cum_sats"), col("cum_btc"), col("cum_usd"))
     val joined = changes.join(st, Seq("address"), "left")
@@ -263,8 +272,18 @@ object Models {
     require(late == 0L,
       s"$late change rows at or before the checkpointed last_time — " +
         "late history cannot fold incrementally; rebuild those addresses")
+    // the full rebuild anchors its OUTPUT on the address snapshot (left
+    // join FROM addresses) — changes for addresses outside it are absent
+    // from its history rows, so the fold's history filters to the
+    // snapshot too. The STATE advance below must NOT filter: the
+    // checkpoint tracks all addresses ([[balanceState]] semantics), so a
+    // not-yet-snapshotted address keeps accumulating and its history is
+    // correct from the day it first appears in the snapshot.
     val w = Window.partitionBy("address").orderBy("time")
-    val hist = joined.select(
+    val hist = joined
+      .join(stgAddresses.select(col("address"),
+        col("balance_sats"), col("balance_btc")), Seq("address"))
+      .select(
       col("address"), col("time"), col("transaction_hash"),
       col("value_change_sats"), col("value_change_btc"),
       col("value_change_usd"),
@@ -276,7 +295,7 @@ object Models {
         sum("value_change_usd").over(w)).as("running_balance_usd"),
       col("balance_sats").as("current_balance_sats"),
       col("balance_btc").as("current_balance_btc"))
-    val dayTotals = changes.groupBy("address").agg(
+    val dayTotals = changes.groupBy("address").agg( // UNfiltered: see above
       max("time").as("day_last"),
       sum("value_change_sats").as("day_sats"),
       sum("value_change_btc").as("day_btc"),

@@ -97,9 +97,10 @@ object Pipeline {
     *
     * `loadDates = None` writes every partition present in the build (the
     * initial full materialization, same layout); `Some(dates)` restricts
-    * the rewrite to those YYYYMMDD partitions. A null tx_time (tx whose
-    * block is missing) lands in the '00000000' sentinel partition instead
-    * of being silently dropped by the date filter. */
+    * the rewrite to those YYYYMMDD partitions PLUS the '00000000'
+    * sentinel, where rows with a null tx_time (tx whose block is missing)
+    * land — the sentinel stays in scope on every run so those rows are
+    * never silently dropped by the date filter. */
   def writeBuildIncremental(bld: Build, outDir: String,
       loadDates: Option[Seq[String]] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, date_format, lit}
@@ -107,8 +108,12 @@ object Pipeline {
         cluster: Seq[String]): Unit = {
       val dated = df.withColumn("load_date",
         coalesce(date_format(col(timeCol), "yyyyMMdd"), lit("00000000")))
+      // the sentinel partition is ALWAYS in scope: a restricted rewrite
+      // that filtered it out would silently drop this build's null-time
+      // rows (and leave a stale sentinel partition from the last full
+      // build in place)
       val scoped = loadDates.fold(dated)(ds =>
-        dated.filter(col("load_date").isin(ds: _*)))
+        dated.filter(col("load_date").isin((ds :+ "00000000").distinct: _*)))
       scoped
         .repartition(cluster.map(col): _*)
         .sortWithinPartitions(cluster.map(col): _*)

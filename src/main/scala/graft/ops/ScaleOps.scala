@@ -39,6 +39,30 @@ object ScaleOps extends QueryModule {
     dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
 
+  /** Deterministic skewed join fixture shared by SkewSpec (distribution
+    * pin) and SkewBench (wall-clock crossover) — a drifted copy would let
+    * the spec pin a different shape than the bench measures. Probe side:
+    * lineitem with every even orderkey collapsed onto key 1 (~half the
+    * rows hot), optionally row-amplified; build side: unique keys over
+    * the same domain from orders. */
+  def skewedFixture(s: org.apache.spark.sql.SparkSession, sfDir: String,
+      amplify: Int): (DataFrame, DataFrame) = {
+    val base = lineitem(s, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val amplified =
+      if (amplify <= 1) base
+      else base.withColumn("_rep",
+        explode(sequence(lit(1), lit(amplify)))).drop("_rep")
+    val fact = amplified.withColumn("k",
+      when(col("l_orderkey") % 2 === 0, lit(1L)).otherwise(col("l_orderkey")))
+    val dim = orders(s, sfDir)
+      .select(when(col("o_orderkey") % 2 === 0, lit(1L))
+        .otherwise(col("o_orderkey")).as("k"))
+      .distinct()
+      .withColumn("payload", pmod(col("k"), lit(97)).cast("double"))
+    (fact, dim)
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- A2 at scale: HLL-sketch distinct (approx_count_distinct).

@@ -75,8 +75,8 @@ class BalanceFoldSpec extends SparkSpec {
     assert(doubleCols(hist).sameElements(doubleCols(fullDay2)),
       "btc/usd history diverged from the full rebuild")
     // the advanced state equals the from-scratch state over all history
+    // (null coinbase recipients excluded on both paths)
     def stateRows(df: DataFrame) = df
-      .filter(col("address").isNotNull) // coinbase '' recipient rows
       .select(col("address"), col("last_time"), col("cum_sats"),
         round(col("cum_btc"), 6), round(col("cum_usd"), 6))
       .collect().map(_.toString).sorted
@@ -95,6 +95,24 @@ class BalanceFoldSpec extends SparkSpec {
     val a = hist.filter(col("address") === "addrA").collect()
     assert(a.length == 2)
     assert(a.map(_.getAs[Long]("running_balance_sats")).toSet.size == 1)
+  }
+
+  test("a not-yet-snapshotted address accumulates state but emits no " +
+    "history until it appears in the snapshot") {
+    val (in1, out1, addr, in2, out2) = ctx
+    val partialSnapshot = addr.filter(col("address") =!= "addrD")
+    val (hist, newState) = Models.foldBalancesDay(
+      Models.balanceState(in1, out1), partialSnapshot, in2, out2)
+    // no history rows for the missing address...
+    assert(hist.filter(col("address") === "addrD").count() == 0)
+    // ...but its state still advances with the day's changes — otherwise
+    // the day would be permanently lost once the address is snapshotted
+    val d = newState.filter(col("address") === "addrD").collect()
+    assert(d.length == 1)
+    val full = Models.balanceState(
+      in1.unionByName(in2), out1.unionByName(out2))
+      .filter(col("address") === "addrD").collect()(0)
+    assert(d(0).getAs[Long]("cum_sats") == full.getAs[Long]("cum_sats"))
   }
 
   test("late history (rows at or before the checkpoint) is refused") {

@@ -12,17 +12,10 @@ class SkewSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Every even orderkey collapses onto key 1 — ~half the rows hot. */
-  private def skewed = graft.Tables.lineitem(spark, sf)
-    .select(col("l_orderkey"), col("l_extendedprice"))
-    .withColumn("k", when(col("l_orderkey") % 2 === 0, lit(1L))
-      .otherwise(col("l_orderkey")))
-
-  private def dim = graft.Tables.orders(spark, sf)
-    .select(when(col("o_orderkey") % 2 === 0, lit(1L))
-      .otherwise(col("o_orderkey")).as("k"))
-    .distinct()
-    .withColumn("payload", pmod(col("k"), lit(97)).cast("double"))
+  // the SAME construction SkewBench measures (ScaleOps.skewedFixture):
+  // every even orderkey collapses onto key 1 — ~half the rows hot
+  private def skewed = ScaleOps.skewedFixture(spark, sf, amplify = 1)._1
+  private def dim = ScaleOps.skewedFixture(spark, sf, amplify = 1)._2
 
   test("salted join reproduces the plain join exactly on skewed keys") {
     def agg(j: org.apache.spark.sql.DataFrame) = j.groupBy("k")
