@@ -38,10 +38,8 @@ object SkewBench {
     // straggler task is measurable on local[32]; unique-key build side.
     // Broadcast is disabled in the measured arms — the point is the
     // shuffle-join regime where the build side is too big to broadcast.
-    def skewedFact: DataFrame =
-      graft.ops.ScaleOps.skewedFixture(spark, sfDir, amplify = 10)._1
-    def dim: DataFrame =
-      graft.ops.ScaleOps.skewedFixture(spark, sfDir, amplify = 10)._2
+    val (skewedFact, dim) =
+      graft.ops.ScaleOps.skewedFixture(spark, sfDir, amplify = 10)
 
     // Per-joined-row work heavy enough that reduce-side cost dominates
     // the (identical) scan cost of each arm — sha2 stands in for the real

@@ -249,11 +249,20 @@ object Models {
     * join share it) against a state table of O(addresses) — versus the
     * full rebuild's shuffle of ALL history every day.
     *
-    * Fails fast (one counting job) if any new row's time is at or before
-    * its address's checkpointed `last_time`: running balances are prefix
-    * sums, so late-arriving history cannot fold — those addresses must be
-    * rebuilt from full history instead (the RANGE tie frame would have
-    * merged equal-time rows that the checkpoint already folded). */
+    * Fails fast (one counting job) if any new row's time is NULL or at or
+    * before its address's checkpointed `last_time`: running balances are
+    * prefix sums, so late-arriving history cannot fold — those addresses
+    * must be rebuilt from full history instead (the RANGE tie frame would
+    * have merged equal-time rows that the checkpoint already folded), and
+    * a null-time row has no position in the prefix order at all (the full
+    * rebuild sorts it before ALL history; a day-fold cannot).
+    *
+    * History rows cover EVERY active address. The `current_balance_*`
+    * columns are denormalized snapshot attributes (the full rebuild
+    * stamps rebuild-day balances onto all history): here they carry the
+    * fold-day snapshot, null for addresses not yet snapshotted — the one
+    * deliberate divergence from a later full rebuild, confined to those
+    * two columns (refresh them with a cheap dim join at read time). */
   def foldBalancesDay(state: DataFrame, stgAddresses: DataFrame,
       dayInputs: DataFrame, dayOutputs: DataFrame): (DataFrame, DataFrame) = {
     // One materialization serves the late-row gate, the history rows, and
@@ -267,22 +276,26 @@ object Models {
     val st = state.select(col("address"), col("last_time"),
       col("cum_sats"), col("cum_btc"), col("cum_usd"))
     val joined = changes.join(st, Seq("address"), "left")
-    val late = joined.filter(col("last_time").isNotNull &&
-      col("time") <= col("last_time")).count()
+    // NULL times must be refused explicitly: `time <= last_time` is NULL
+    // (not true) for them, so they would slip through a late-only gate,
+    // get no stable position in the prefix order, and never advance
+    // max(last_time) — refold-eligible forever.
+    val late = joined.filter(col("time").isNull ||
+      (col("last_time").isNotNull && col("time") <= col("last_time")))
+      .count()
     require(late == 0L,
-      s"$late change rows at or before the checkpointed last_time — " +
-        "late history cannot fold incrementally; rebuild those addresses")
-    // the full rebuild anchors its OUTPUT on the address snapshot (left
-    // join FROM addresses) — changes for addresses outside it are absent
-    // from its history rows, so the fold's history filters to the
-    // snapshot too. The STATE advance below must NOT filter: the
-    // checkpoint tracks all addresses ([[balanceState]] semantics), so a
-    // not-yet-snapshotted address keeps accumulating and its history is
-    // correct from the day it first appears in the snapshot.
+      s"$late change rows with null time or at/before the checkpointed " +
+        "last_time — such history cannot fold incrementally; rebuild " +
+        "those addresses from full history")
+    // LEFT join to the snapshot: history rows exist for every active
+    // address (so the materialized table never permanently misses the
+    // pre-snapshot days of a late-appearing address); snapshot balances
+    // are null until the address is snapshotted. The state advance uses
+    // the UNfiltered changes for the same reason.
     val w = Window.partitionBy("address").orderBy("time")
     val hist = joined
       .join(stgAddresses.select(col("address"),
-        col("balance_sats"), col("balance_btc")), Seq("address"))
+        col("balance_sats"), col("balance_btc")), Seq("address"), "left")
       .select(
       col("address"), col("time"), col("transaction_hash"),
       col("value_change_sats"), col("value_change_btc"),

@@ -110,8 +110,7 @@ object Pipeline {
         coalesce(date_format(col(timeCol), "yyyyMMdd"), lit("00000000")))
       // the sentinel partition is ALWAYS in scope: a restricted rewrite
       // that filtered it out would silently drop this build's null-time
-      // rows (and leave a stale sentinel partition from the last full
-      // build in place)
+      // rows
       val scoped = loadDates.fold(dated)(ds =>
         dated.filter(col("load_date").isin((ds :+ "00000000").distinct: _*)))
       scoped
@@ -120,6 +119,18 @@ object Pipeline {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("load_date").parquet(s"$outDir/$name")
+      // dynamic overwrite only replaces partitions PRESENT in the written
+      // data: when a formerly-missing block arrives and its tx rows move
+      // from the sentinel to a real date, this build has no sentinel rows
+      // and the stale sentinel partition would survive next to the
+      // re-dated rows — duplicate rows on read. Clear it explicitly.
+      val sentinelPath = new org.apache.hadoop.fs.Path(
+        s"$outDir/$name/load_date=00000000")
+      val fs = sentinelPath.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(sentinelPath) &&
+          scoped.filter(col("load_date") === "00000000").isEmpty)
+        fs.delete(sentinelPath, true)
     }
     writeInc(bld.intTransactionFlows, "int_transaction_flows", "tx_time",
       Seq("transaction_hash", "tx_time"))

@@ -97,22 +97,47 @@ class BalanceFoldSpec extends SparkSpec {
     assert(a.map(_.getAs[Long]("running_balance_sats")).toSet.size == 1)
   }
 
-  test("a not-yet-snapshotted address accumulates state but emits no " +
-    "history until it appears in the snapshot") {
+  test("a not-yet-snapshotted address still emits history (null snapshot " +
+    "balances) and accumulates state") {
     val (in1, out1, addr, in2, out2) = ctx
     val partialSnapshot = addr.filter(col("address") =!= "addrD")
     val (hist, newState) = Models.foldBalancesDay(
       Models.balanceState(in1, out1), partialSnapshot, in2, out2)
-    // no history rows for the missing address...
-    assert(hist.filter(col("address") === "addrD").count() == 0)
-    // ...but its state still advances with the day's changes — otherwise
-    // the day would be permanently lost once the address is snapshotted
+    // history rows exist — the materialized table must not permanently
+    // miss the pre-snapshot days of a late-appearing address — with null
+    // snapshot balances (denormalized attribute, refreshed at read time)
+    val d2 = hist.filter(col("address") === "addrD").collect()
+    assert(d2.nonEmpty)
+    assert(d2.forall(_.isNullAt(d2.head.fieldIndex("current_balance_sats"))))
+    // running balances match the full rebuild's for the same rows
+    val fullD = Models.intAddressBalances(addr,
+      in1.unionByName(in2), out1.unionByName(out2))
+      .filter(col("address") === "addrD" &&
+        col("time") >= lit("2025-09-01 00:00:00").cast("timestamp"))
+      .select("address", "time", "running_balance_sats")
+      .collect().map(_.toString).sorted
+    val foldD = hist.filter(col("address") === "addrD")
+      .select("address", "time", "running_balance_sats")
+      .collect().map(_.toString).sorted
+    assert(foldD.sameElements(fullD))
+    // and the state advances with the day's changes
     val d = newState.filter(col("address") === "addrD").collect()
     assert(d.length == 1)
     val full = Models.balanceState(
       in1.unionByName(in2), out1.unionByName(out2))
       .filter(col("address") === "addrD").collect()(0)
     assert(d(0).getAs[Long]("cum_sats") == full.getAs[Long]("cum_sats"))
+  }
+
+  test("null-time rows are refused (no position in the prefix order)") {
+    val (in1, out1, addr, in2, out2) = ctx
+    val in2Null = in2.withColumn("time",
+      when(col("transaction_hash") === "u2" && col("index") === 0,
+        lit(null).cast("timestamp")).otherwise(col("time")))
+    intercept[IllegalArgumentException] {
+      Models.foldBalancesDay(Models.balanceState(in1, out1), addr,
+        in2Null, out2)
+    }
   }
 
   test("late history (rows at or before the checkpoint) is refused") {

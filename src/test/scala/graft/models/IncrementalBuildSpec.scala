@@ -73,6 +73,29 @@ class IncrementalBuildSpec extends SparkSpec {
       "incremental rewrite changed table content vs the full build")
   }
 
+  test("a stale sentinel partition is cleared when the build no longer " +
+    "has null-time rows") {
+    val (raw, _) = dirs
+    val bld = Pipeline.readRaw(spark, raw.toString)
+    val out = Files.createTempDirectory("graft-incr-sentinel")
+    Pipeline.writeBuildIncremental(bld, out.toString)
+    val flows = out.resolve("int_transaction_flows")
+    val sentinel = flows.resolve("load_date=00000000")
+    // plant a sentinel partition, as if an earlier build had landed
+    // null-time rows whose block has since arrived under a real date
+    Files.createDirectories(sentinel)
+    val src = scala.util.Using(Files.list(flows.resolve("load_date=20250820"))) {
+      _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+    }.get
+    Files.copy(src, sentinel.resolve(src.getFileName.toString))
+    // a restricted rewrite with no sentinel rows in the build must clear
+    // it — dynamic overwrite alone would leave the stale rows readable
+    Pipeline.writeBuildIncremental(bld, out.toString,
+      loadDates = Some(Seq("20250920")))
+    assert(!Files.exists(sentinel),
+      "stale sentinel partition survived the incremental rewrite")
+  }
+
   test("day-2 partitions contain exactly the day-2 transactions") {
     val (raw, out) = dirs
     val bld = Pipeline.readRaw(spark, raw.toString)

@@ -14,8 +14,8 @@ class SkewSpec extends SparkSpec {
 
   // the SAME construction SkewBench measures (ScaleOps.skewedFixture):
   // every even orderkey collapses onto key 1 — ~half the rows hot
-  private def skewed = ScaleOps.skewedFixture(spark, sf, amplify = 1)._1
-  private def dim = ScaleOps.skewedFixture(spark, sf, amplify = 1)._2
+  private lazy val (skewed, dim) =
+    ScaleOps.skewedFixture(spark, sf, amplify = 1)
 
   test("salted join reproduces the plain join exactly on skewed keys") {
     def agg(j: org.apache.spark.sql.DataFrame) = j.groupBy("k")
