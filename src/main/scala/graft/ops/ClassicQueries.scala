@@ -92,6 +92,71 @@ object ClassicQueries extends QueryModule {
               WHERE r_name = 'ASIA'
               GROUP BY 1 ORDER BY revenue DESC, n_name""")),
 
+    // ---- TPC-H Q1 shape: the pricing-summary scan-aggregate — one pass
+    //      over the fact, grouped by two low-cardinality flags, with the
+    //      canonical chained measures. Decimal discipline: sums aggregate
+    //      in DECIMAL(18,6) then cast DOUBLE; averages are decimal-sum /
+    //      count (identical double division on both engines — a native
+    //      AVG would be accumulation-order-dependent).
+    Q("q1_pricing_summary",
+      (s, d) => {
+        val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        lineitem(s, d)
+          .filter(col("l_shipdate") <=
+            to_timestamp(lit("2000-01-01 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            decSum(col("l_quantity")).as("sum_qty"),
+            decSum(col("l_extendedprice")).as("sum_base_price"),
+            decSum(disc).as("sum_disc_price"),
+            decSum(disc * (lit(1) + col("l_tax"))).as("sum_charge"),
+            (outDec(sum(dec(col("l_quantity")))) / count(lit(1)))
+              .as("avg_qty"),
+            (outDec(sum(dec(col("l_extendedprice")))) / count(lit(1)))
+              .as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(asc("l_returnflag"), asc("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              ${sqlDecSum("l_quantity")} AS sum_qty,
+              ${sqlDecSum("l_extendedprice")} AS sum_base_price,
+              ${sqlDecSum("l_extendedprice * (1 - l_discount)")}
+                AS sum_disc_price,
+              ${sqlDecSum(
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+                AS sum_charge,
+              ${sqlDecSum("l_quantity")} / COUNT(*) AS avg_qty,
+              ${sqlDecSum("l_extendedprice")} / COUNT(*) AS avg_price,
+              COUNT(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- TPC-H Q4 shape: order-priority checking — an EXISTS semi-join
+    //      with a non-equi residual (a line shipped well after the order
+    //      date stands in for the schema's missing commit/receipt pair).
+    //      The semi-join keeps orders narrow; the count rolls up by
+    //      priority.
+    Q("q4_order_priority",
+      (s, d) => {
+        val o = orders(s, d)
+        val l = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(asc("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+              FROM orders o
+              WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+              GROUP BY 1 ORDER BY 1""")),
+
     // ---- TPC-H Q18 shape: large-volume customers — a having-sum
     //      semi-join (orders restricted to those whose lineitems sum past
     //      a quantity threshold), then the customer/orders/lineitem

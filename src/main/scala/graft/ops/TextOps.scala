@@ -411,6 +411,41 @@ object TextOps extends QueryModule {
                 AS INT) AS rank, token, cnt
               FROM g ORDER BY cnt DESC, token LIMIT 10""")),
 
+    // ---- Bigram language-model counts: P(w2|w1) = c(w1,w2)/c(w1) over
+    //      the corpus — the n-gram statistic a data-quality LM filter
+    //      thresholds on. Two map-side-combinable hash aggregates joined
+    //      on w1 (the smaller unigram side broadcasts); top bigrams with
+    //      a total-order tiebreak. The conditional probability divides
+    //      two exact longs — identical doubles on both engines.
+    Q("text_bigram_lm",
+      (s, d) => {
+        val pairs = documents(s, d)
+          .select(explode(shingles(toksCol, 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("w1"),
+            split(col("g"), " ").getItem(1).as("w2"))
+        val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+        val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+        c12.join(broadcast(c1), Seq("w1"))
+          .select(col("w1"), col("w2"), col("n12"),
+            round(col("n12") / col("n1").cast("double"), 6).as("p_cond"))
+          .orderBy(desc("n12"), asc("w1"), asc("w2"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+              g AS (SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS g
+                    FROM toks),
+              p AS (SELECT string_split(g, ' ')[1] AS w1,
+                      string_split(g, ' ')[2] AS w2 FROM g),
+              c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM p GROUP BY 1, 2),
+              c1 AS (SELECT w1, COUNT(*) AS n1 FROM p GROUP BY 1)
+              SELECT c12.w1, w2, n12,
+                ROUND(n12 / CAST(n1 AS DOUBLE), 6) AS p_cond
+              FROM c12 JOIN c1 ON c12.w1 = c1.w1
+              ORDER BY n12 DESC, c12.w1, w2 LIMIT 50""")),
+
     // ---- F-extension: JSON field extraction (events.props).
     Q("f9_json_extract",
       (s, d) => events(s, d)

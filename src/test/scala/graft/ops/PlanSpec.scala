@@ -123,6 +123,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Subquery"), p.take(1500))
   }
 
+  test("q1: single-pass scan-aggregate — pushdown + two-phase agg, " +
+    "no join") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(900))
+    assert(p.contains("partial_sum"), p.take(900))
+    assert(!p.contains("Join"), p.take(900))
+  }
+
+  test("q4: EXISTS with non-equi residual plans as one semi-join") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
   test("a2 scale variant: approx_count_distinct plans without expand") {
     import org.apache.spark.sql.functions._
     val li = graft.Tables.lineitem(spark, sf)
