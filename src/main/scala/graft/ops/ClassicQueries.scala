@@ -110,9 +110,8 @@ object ClassicQueries extends QueryModule {
             decSum(col("l_extendedprice")).as("sum_base_price"),
             decSum(disc).as("sum_disc_price"),
             decSum(disc * (lit(1) + col("l_tax"))).as("sum_charge"),
-            (outDec(sum(dec(col("l_quantity")))) / count(lit(1)))
-              .as("avg_qty"),
-            (outDec(sum(dec(col("l_extendedprice")))) / count(lit(1)))
+            (decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (decSum(col("l_extendedprice")) / count(lit(1)))
               .as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy(asc("l_returnflag"), asc("l_linestatus"))

@@ -424,7 +424,10 @@ object TextOps extends QueryModule {
           .select(split(col("g"), " ").getItem(0).as("w1"),
             split(col("g"), " ").getItem(1).as("w2"))
         val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-        val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+        // n1 ≡ Σ n12 by w1 — derived from c12 so the corpus is scanned
+        // and shingled ONCE (independent aggregates on different keys
+        // defeat ReuseExchange)
+        val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
         c12.join(broadcast(c1), Seq("w1"))
           .select(col("w1"), col("w2"), col("n12"),
             round(col("n12") / col("n1").cast("double"), 6).as("p_cond"))

@@ -66,35 +66,62 @@ class BalanceFoldPropSpec extends SparkSpec {
 
       val full = Models.intAddressBalances(snapshot, allIn, allOut)
         .filter(col("time").isNotNull) // activity rows only
+      // an all-address anchor (null balances) makes the full rebuild
+      // cover the NON-snapshot addresses too, so their per-row running
+      // balances are checked — not just their aggregate state
+      val allAnchor = addrs.toDF("address")
+        .withColumn("balance_sats", lit(null).cast("long"))
+        .withColumn("balance_btc", lit(null).cast("double"))
+      val fullAll = Models.intAddressBalances(allAnchor, allIn, allOut)
+        .filter(col("time").isNotNull)
 
-      // exact on sats; 6-dp on btc/usd (double accumulation order differs
-      // legitimately between one long prefix sum and day-chunked sums)
-      def exact(df: DataFrame) = df
-        .filter(col("address").isin(snapAddrs: _*))
-        .select(col("address"), col("time"), col("transaction_hash"),
-          col("value_change_sats"), col("running_balance_sats"),
-          col("current_balance_sats"))
+      // exact on longs; tolerance compare on UNROUNDED doubles (double
+      // accumulation order differs legitimately between one long prefix
+      // sum and day-chunked sums, and rounding can flip at half-way
+      // points — a fixed-decimal compare would be machine-dependent)
+      def exact(df: DataFrame, withSnapshotCols: Boolean) = df
+        .select(Seq(col("address"), col("time"), col("transaction_hash"),
+          col("value_change_sats"), col("running_balance_sats")) ++
+          (if (withSnapshotCols) Seq(col("current_balance_sats"))
+           else Seq.empty): _*)
         .collect().map(_.toString).sorted
-      def approx(df: DataFrame) = df
-        .filter(col("address").isin(snapAddrs: _*))
+      def doubles(df: DataFrame): Map[String, (Double, Double)] = df
         .select(col("address"), col("time"), col("transaction_hash"),
-          round(col("running_balance_btc"), 6),
-          round(col("running_balance_usd"), 6))
-        .collect().map(_.toString).sorted
-      assert(exact(folded).sameElements(exact(full)),
+          col("value_change_sats"), col("running_balance_btc"),
+          col("running_balance_usd"))
+        .collect()
+        .map(r => (0 to 3).map(r.get(_).toString).mkString("|") ->
+          (r.getAs[Double]("running_balance_btc"),
+            r.getAs[Double]("running_balance_usd"))).toMap
+      def close(a: Map[String, (Double, Double)],
+          b: Map[String, (Double, Double)]): Boolean =
+        a.keySet == b.keySet && a.forall { case (k, (x, y)) =>
+          math.abs(x - b(k)._1) < 1e-6 && math.abs(y - b(k)._2) < 1e-6
+        }
+
+      val foldedSnap = folded.filter(col("address").isin(snapAddrs: _*))
+      assert(exact(foldedSnap, withSnapshotCols = true)
+        .sameElements(exact(full, withSnapshotCols = true)),
         s"trial $trial: sats history diverged (addrs=$nAddr, " +
           s"snap=${snapAddrs.size})")
-      assert(approx(folded).sameElements(approx(full)),
+      assert(exact(folded, withSnapshotCols = false)
+        .sameElements(exact(fullAll, withSnapshotCols = false)),
+        s"trial $trial: all-address sats history diverged")
+      assert(close(doubles(folded), doubles(fullAll)),
         s"trial $trial: btc/usd history diverged")
 
       // final state == from-scratch state over all history
-      def stRows(df: DataFrame) = df
-        .select(col("address"), col("last_time"), col("cum_sats"),
-          round(col("cum_btc"), 6), round(col("cum_usd"), 6))
+      def stExact(df: DataFrame) = df
+        .select(col("address"), col("last_time"), col("cum_sats"))
         .collect().map(_.toString).sorted
+      def stDoubles(df: DataFrame) = df.collect()
+        .map(r => r.getAs[String]("address") ->
+          (r.getAs[Double]("cum_btc"), r.getAs[Double]("cum_usd"))).toMap
       val fullState = Models.balanceState(allIn, allOut)
-      assert(stRows(state).sameElements(stRows(fullState)),
+      assert(stExact(state).sameElements(stExact(fullState)),
         s"trial $trial: advanced state != from-scratch state")
+      assert(close(stDoubles(state), stDoubles(fullState)),
+        s"trial $trial: state cum_btc/cum_usd diverged")
     }
   }
 }
