@@ -423,10 +423,13 @@ object TextOps extends QueryModule {
           .select(explode(shingles(toksCol, 2)).as("g"))
           .select(split(col("g"), " ").getItem(0).as("w1"),
             split(col("g"), " ").getItem(1).as("w2"))
+        // n1 ≡ Σ n12 by w1 — derived from c12, and c12 cached: the
+        // derivation alone still leaves two identical scan+explode
+        // subtrees in the plan (exchange reuse across fresh expr-ids is
+        // not guaranteed), so the corpus is scanned and shingled ONCE
+        // only with the cache (same pattern as the LSH/jaccard queries).
         val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-        // n1 ≡ Σ n12 by w1 — derived from c12 so the corpus is scanned
-        // and shingled ONCE (independent aggregates on different keys
-        // defeat ReuseExchange)
+          .cache()
         val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
         c12.join(broadcast(c1), Seq("w1"))
           .select(col("w1"), col("w2"), col("n12"),
