@@ -411,6 +411,46 @@ object TextOps extends QueryModule {
                 AS INT) AS rank, token, cnt
               FROM g ORDER BY cnt DESC, token LIMIT 10""")),
 
+    // ---- Sub-document (chunk-level) dedup: fixed 16-token chunks,
+    //      hash-grouped across the corpus, reporting chunks shared by
+    //      more than one document — the scalable approximation of exact
+    //      substring dedup for training data (whole-doc hashing misses
+    //      copied passages inside otherwise-distinct documents). Chunking
+    //      is a per-row transform+explode; the group-by is one
+    //      map-side-combinable aggregate on the chunk text.
+    Q("dedup_chunks",
+      (s, d) => {
+        val nChunks = ceil(size(toksCol) / lit(16.0)).cast("long")
+        val chunks = documents(s, d).select(col("doc_id"),
+          explode(transform(sequence(lit(0L), nChunks - 1), i =>
+            array_join(slice(toksCol, (i * 16 + 1).cast("int"), lit(16)),
+              " ")))
+            .as("chunk"))
+        chunks.groupBy("chunk")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") > 1)
+          .select(md5(col("chunk").cast("binary")).as("chunk_hash"),
+            col("n_docs"), col("n_occ"), col("first_doc"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+              chunks AS (
+                SELECT doc_id, unnest(list_transform(
+                  range(0, CAST(ceil(len(t) / 16.0) AS BIGINT)),
+                  i -> array_to_string(t[i*16+1:i*16+16], ' '))) AS chunk
+                FROM toks),
+              g AS (
+                SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs,
+                  COUNT(*) AS n_occ,
+                  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+                FROM chunks GROUP BY 1
+                HAVING COUNT(DISTINCT doc_id) > 1)
+              SELECT md5(chunk) AS chunk_hash, n_docs, n_occ, first_doc
+              FROM g""")),
+
     // ---- Bigram language-model counts: P(w2|w1) = c(w1,w2)/c(w1) over
     //      the corpus — the n-gram statistic a data-quality LM filter
     //      thresholds on. Two map-side-combinable hash aggregates joined
