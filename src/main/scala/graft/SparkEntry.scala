@@ -13,7 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] =
     Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
-      Extensions, PortableHashOps, ClassicQueries, RecallOps)
+      Extensions, PortableHashOps, ClassicQueries, RecallOps, CorpusOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The recursive multi-hop trace is the reference's flagship

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus-level curation operators over the `documents` table — the steps
+  * a training-data pipeline runs AFTER per-document scoring and pair
+  * finding (SURVEY.md §7.1 step 9 north-star extensions):
+  *
+  *  - duplicate-CLUSTER resolution: near-dup pairs are only half of
+  *    dedup; the keep/drop decision needs connected components over the
+  *    pair graph and one canonical doc per component,
+  *  - eval-set decontamination: flag training docs sharing an n-gram
+  *    shingle with a held-out eval set,
+  *  - deterministic stratified sampling: reproducible hash-threshold
+  *    sampling with per-stratum rates (downsample the dominant language).
+  *
+  * Scale designs: components via min-label propagation — O(diameter)
+  * rounds of a shuffle-light join on the (small) edge list, with the
+  * full corpus never entering the loop (at extreme component counts,
+  * switch the loop body to the large-star/small-star rounds of Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+  * same join primitive, O(log n) rounds). Decontamination broadcasts the
+  * eval shingle set — eval suites are small by construction, so the scan
+  * over 100 TB of training shingles is map-only. Sampling is a per-row
+  * portable-hash threshold: zero shuffle, reproducible across engines
+  * and runs, no sampleBy() seed drift.
+  */
+object CorpusOps extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Duplicate-cluster resolution: connected components over the
+    //      bigram-Jaccard near-dup pairs (TextOps.jaccardPairs), then
+    //      one canonical doc (min doc_id) per component. Min-label
+    //      propagation: labels only ever decrease and are bounded, so
+    //      the loop converges in <= diameter iterations; each iteration
+    //      touches only the pair graph, never the corpus.
+    Q("dup_clusters",
+      (s, d) => {
+        val pairs = TextOps.jaccardPairs(s, d).select("doc_a", "doc_b")
+        val edges = pairs
+          .union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").cache()
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("lab", col("doc_id")).cache()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 64) {
+          val prop = edges
+            .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .select(col("dst").as("doc_id"), col("lab"))
+          val next = labels.union(prop).groupBy("doc_id")
+            .agg(min("lab").as("lab")).cache()
+          changed = next
+            .join(labels.withColumnRenamed("lab", "prev"), Seq("doc_id"))
+            .filter(col("lab") =!= col("prev")).count()
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        require(changed == 0, s"label propagation not converged after $rounds rounds")
+        edges.unpersist()
+        val sizes = labels.groupBy("lab")
+          .agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, Seq("lab"))
+          .select(col("doc_id"), col("lab").as("cluster_id"),
+            col("cluster_size"),
+            (col("doc_id") === col("lab")).as("is_canonical"))
+      },
+      Some(s"""WITH RECURSIVE
+            pairs AS (SELECT doc_a, doc_b
+                      FROM (${TextOps.jaccardPairsSql})),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION ALL
+                      SELECT doc_b, doc_a FROM pairs),
+            reach(doc_id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lab
+              FROM reach r JOIN edges e ON e.src = r.doc_id),
+            lab AS (SELECT doc_id, MIN(lab) AS cluster_id
+                    FROM reach GROUP BY 1)
+            SELECT doc_id, cluster_id,
+              CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                AS cluster_size,
+              doc_id = cluster_id AS is_canonical
+            FROM lab""")),
+
+    // ---- Eval-set decontamination: training docs sharing any word
+    //      trigram with the held-out eval slice (doc_id % 20 = 0 stands
+    //      in for a benchmark suite). Inverted-index semantics with the
+    //      small side broadcast: one map-only pass over training
+    //      shingles, partial-agg count per doc.
+    Q("decontaminate",
+      (s, d) => {
+        val sh = documents(s, d).select(col("doc_id"),
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("sh"))
+        val evalSh = sh.filter(col("doc_id") % 20 === 0)
+          .select(explode(col("sh")).as("shingle")).distinct()
+        val train = sh.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        train.join(broadcast(evalSh), Seq("shingle"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                            FROM documents),
+            sh AS (SELECT doc_id, list_distinct(list_transform(
+                     range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                   FROM toks WHERE len(t) >= 3),
+            ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+                   WHERE doc_id % 20 = 0),
+            tr AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+                   WHERE doc_id % 20 <> 0)
+            SELECT t.doc_id, COUNT(*) AS n_shared
+            FROM tr t JOIN ev e ON t.shingle = e.shingle
+            GROUP BY 1""")),
+
+    // ---- Deterministic stratified sampling: keep a doc iff its
+    //      portable 60-bit hash lands under the stratum's rate —
+    //      reproducible on any engine, zero shuffle, and rebalancing
+    //      (5% of the dominant 'en' stratum, 20% of the rest).
+    Q("sample_stratified",
+      (s, d) => {
+        val h = PortableHashOps.h60(
+          concat(lit("smpl:"), col("doc_id").cast("string")))
+        val rate = when(col("lang") === "en", 5).otherwise(20)
+        documents(s, d).filter((h % 100) < rate)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""SELECT doc_id, lang, source FROM documents
+            WHERE ${PortableHashOps.sqlH60(
+              "'smpl:' || CAST(doc_id AS VARCHAR)")} % 100
+              < CASE WHEN lang = 'en' THEN 5 ELSE 20 END"""))
+  )
+}

@@ -41,6 +41,65 @@ object TextOps extends QueryModule {
   def shingles(toks: Column, n: Int): Column =
     graft.functions.TextExprs.wordShingles(toks, n)
 
+  /** Near-dup pair finding (bigram-Jaccard ≥ 0.2 over inverted-index
+    * candidates), shared by the `ngram_jaccard_pairs` query and the
+    * duplicate-cluster resolution in [[CorpusOps]]. */
+  private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // docs feeds the index and both sides of the final array join —
+    // cache it (at 100 TB: persist to a bucketed table instead).
+    val docs = documents(s, d).select(col("doc_id"),
+      array_distinct(shingles(toksCol, 2)).as("grams")).cache()
+    val index = docs.select(col("doc_id"),
+      explode(col("grams")).as("gram"))
+    val rare = index.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50 && col("df") >= 2)
+    val pruned = index.join(broadcast(rare), Seq("gram"))
+    val a = pruned.select(col("gram"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("gram"), col("doc_id").as("doc_b"))
+    val cands = a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ga = docs.select(col("doc_id").as("doc_a"),
+      col("grams").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_b"),
+      col("grams").as("grams_b"))
+    cands.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("grams_a"), col("grams_b")))
+          / size(array_union(col("grams_a"), col("grams_b"))), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  /** DuckDB twin of [[jaccardPairs]]; a complete SELECT, embeddable as a
+    * derived table inside a larger oracle query. */
+  private[ops] val jaccardPairsSql: String =
+    """WITH grams AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, len(string_split(text,' '))),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1])) AS g
+         FROM documents),
+       idx AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+       rare AS (SELECT gram FROM idx GROUP BY 1
+                HAVING COUNT(*) <= 50 AND COUNT(*) >= 2),
+       pruned AS (SELECT i.gram, i.doc_id FROM idx i
+                  JOIN rare r ON i.gram = r.gram),
+       cands AS (SELECT DISTINCT a.doc_id AS doc_a,
+                        b.doc_id AS doc_b
+                 FROM pruned a JOIN pruned b ON a.gram = b.gram
+                 WHERE a.doc_id < b.doc_id)
+       SELECT c.doc_a, c.doc_b,
+         ROUND(len(list_intersect(ga.g, gb.g)) /
+           (len(ga.g) + len(gb.g)
+            - len(list_intersect(ga.g, gb.g))), 6) AS jaccard
+       FROM cands c
+       JOIN grams ga ON c.doc_a = ga.doc_id
+       JOIN grams gb ON c.doc_b = gb.doc_id
+       WHERE ROUND(len(list_intersect(ga.g, gb.g)) /
+         (len(ga.g) + len(gb.g)
+          - len(list_intersect(ga.g, gb.g))), 6) >= 0.2"""
+
   // ---- Quality / repetition signals, single-sourced: the standalone
   //      queries and the composed cleaning pipeline share these Column
   //      builders and their DuckDB SQL twins, so a weight or stopword
@@ -253,58 +312,9 @@ object TextOps extends QueryModule {
     // ---- Exact n-gram (word bigram) Jaccard over candidate pairs from an
     //      inverted shingle index. Hub shingles (df > 50) pruned to bound
     //      the candidate join — the standard all-pairs-similarity design.
-    Q("ngram_jaccard_pairs",
-      (s, d) => {
-        // docs feeds the index and both sides of the final array join —
-        // cache it (at 100 TB: persist to a bucketed table instead).
-        val docs = documents(s, d).select(col("doc_id"),
-          array_distinct(shingles(toksCol, 2)).as("grams")).cache()
-        val index = docs.select(col("doc_id"),
-          explode(col("grams")).as("gram"))
-        val rare = index.groupBy("gram").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50 && col("df") >= 2)
-        val pruned = index.join(broadcast(rare), Seq("gram"))
-        val a = pruned.select(col("gram"), col("doc_id").as("doc_a"))
-        val b = pruned.select(col("gram"), col("doc_id").as("doc_b"))
-        val cands = a.join(b, Seq("gram"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val ga = docs.select(col("doc_id").as("doc_a"),
-          col("grams").as("grams_a"))
-        val gb = docs.select(col("doc_id").as("doc_b"),
-          col("grams").as("grams_b"))
-        cands.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            round(size(array_intersect(col("grams_a"), col("grams_b")))
-              / size(array_union(col("grams_a"), col("grams_b"))), 6)
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.2)
-      },
-      Some("""WITH grams AS (
-                SELECT doc_id, list_distinct(list_transform(
-                  range(1, len(string_split(text,' '))),
-                  i -> string_split(text,' ')[i] || ' ' ||
-                       string_split(text,' ')[i+1])) AS g
-                FROM documents),
-              idx AS (SELECT doc_id, unnest(g) AS gram FROM grams),
-              rare AS (SELECT gram FROM idx GROUP BY 1
-                       HAVING COUNT(*) <= 50 AND COUNT(*) >= 2),
-              pruned AS (SELECT i.gram, i.doc_id FROM idx i
-                         JOIN rare r ON i.gram = r.gram),
-              cands AS (SELECT DISTINCT a.doc_id AS doc_a,
-                               b.doc_id AS doc_b
-                        FROM pruned a JOIN pruned b ON a.gram = b.gram
-                        WHERE a.doc_id < b.doc_id)
-              SELECT c.doc_a, c.doc_b,
-                ROUND(len(list_intersect(ga.g, gb.g)) /
-                  (len(ga.g) + len(gb.g)
-                   - len(list_intersect(ga.g, gb.g))), 6) AS jaccard
-              FROM cands c
-              JOIN grams ga ON c.doc_a = ga.doc_id
-              JOIN grams gb ON c.doc_b = gb.doc_id
-              WHERE ROUND(len(list_intersect(ga.g, gb.g)) /
-                (len(ga.g) + len(gb.g)
-                 - len(list_intersect(ga.g, gb.g))), 6) >= 0.2""")),
+    //      Pair finding is factored (jaccardPairs) so CorpusOps can
+    //      resolve the pairs into duplicate clusters.
+    Q("ngram_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
 
     // ---- MinHash + LSH near-dup candidates: shingle → 16-way minhash →
     //      8 bands of 2 → bucket join → signature-agreement estimate.

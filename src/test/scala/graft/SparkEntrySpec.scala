@@ -8,7 +8,7 @@ class SparkEntrySpec extends AnyFunSuite {
 
   private val modules: Seq[QueryModule] =
     Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
-      Extensions, PortableHashOps, ClassicQueries, RecallOps)
+      Extensions, PortableHashOps, ClassicQueries, RecallOps, CorpusOps)
 
   test("no duplicate query keys across modules (a collision would " +
     "silently drop an operator from the gate)") {
