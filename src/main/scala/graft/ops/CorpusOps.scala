@@ -123,6 +123,71 @@ object CorpusOps extends QueryModule {
     //      portable 60-bit hash lands under the stratum's rate —
     //      reproducible on any engine, zero shuffle, and rebalancing
     //      (5% of the dominant 'en' stratum, 20% of the rest).
+    // ---- Sequence packing: lay each source's docs end-to-end in
+    //      doc_id order and cut fixed 2048-token training sequences —
+    //      each doc gets its spanning [seq_first, seq_last] window and
+    //      in-sequence offset. One window cumsum per source partition;
+    //      at 100 TB the source shard IS the parallel unit (the global
+    //      concatenation order is per-shard by design, so no global
+    //      sort and no single-partition window).
+    Q("seq_packing",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        documents(s, d).select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("start_off",
+            sum("n_tokens").over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr("start_off DIV 2048").as("seq_first"),
+            expr("(start_off + n_tokens - 1) DIV 2048").as("seq_last"),
+            (col("start_off") % 2048).as("seq_offset"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents),
+              offs AS (
+                SELECT doc_id, source, n_tokens,
+                  CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id) AS BIGINT)
+                    - n_tokens AS start_off
+                FROM toks)
+              SELECT doc_id, source, n_tokens,
+                start_off // 2048 AS seq_first,
+                (start_off + n_tokens - 1) // 2048 AS seq_last,
+                start_off % 2048 AS seq_offset
+              FROM offs""")),
+
+    // ---- Per-language quantile quality gate: keep docs strictly above
+    //      their language's 25th-percentile quality score. Exact
+    //      interpolated percentile per stratum (tiny aggregate,
+    //      broadcast back); both sides compare ROUND(..., 6) values so
+    //      the threshold comparison is boundary-deterministic.
+    Q("quality_quantile_filter",
+      (s, d) => {
+        val scored = documents(s, d).select(col("doc_id"), col("lang"),
+          round(TextOps.qualityScore(TextOps.tokens(col("text"))), 6)
+            .as("q"))
+        val thr = scored.groupBy("lang")
+          .agg(round(expr("percentile(q, 0.25)"), 6).as("q25"))
+        scored.join(broadcast(thr), Seq("lang"))
+          .filter(col("q") > col("q25"))
+          .select(col("doc_id"), col("lang"),
+            col("q").as("quality_score"), col("q25").as("lang_q25"))
+      },
+      Some(s"""WITH scored AS (
+                SELECT doc_id, lang,
+                  ROUND(${TextOps.SqlQuality}, 6) AS q
+                FROM documents),
+              thr AS (SELECT lang,
+                        ROUND(quantile_cont(q, 0.25), 6) AS q25
+                      FROM scored GROUP BY 1)
+              SELECT s.doc_id, s.lang, s.q AS quality_score,
+                t.q25 AS lang_q25
+              FROM scored s JOIN thr t ON s.lang = t.lang
+              WHERE s.q > t.q25""")),
+
     Q("sample_stratified",
       (s, d) => {
         val h = PortableHashOps.h60(

@@ -109,7 +109,9 @@ object TextOps extends QueryModule {
     size(filter(t, w => w.isin(Stopwords.map(lit): _*))) / size(t)
   private def distinctRatio(t: Column): Column =
     size(array_distinct(t)) / size(t)
-  private def qualityScore(t: Column): Column =
+  // private[ops]: CorpusOps' quantile filter thresholds on the same
+  // score — single-sourcing keeps the two gates from diverging.
+  private[ops] def qualityScore(t: Column): Column =
     stopRatio(t) * 0.3 + distinctRatio(t) * 0.7
   private def dupGramRatio(toks: Column): Column = {
     val g3 = shingles(toks, 3)
@@ -123,7 +125,7 @@ object TextOps extends QueryModule {
       s" / len($SqlToks)"
   private val SqlDistinctRatio =
     s"len(list_distinct($SqlToks)) / len($SqlToks)"
-  private val SqlQuality =
+  private[ops] val SqlQuality =
     s"$SqlStopRatio * 0.3 + $SqlDistinctRatio * 0.7"
   /** Word-3-gram list; consumers alias it `AS g3`. */
   private val SqlG3 =
