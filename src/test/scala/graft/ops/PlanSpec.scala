@@ -144,4 +144,28 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Expand"))
   }
+
+  test("decontaminate: eval shingle set is broadcast; per-doc count is " +
+    "two-phase") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("partial_count"), "map-side partial agg missing")
+  }
+
+  test("quality quantile gate: per-language thresholds are broadcast " +
+    "back, never shuffled against the corpus") {
+    assert(plan("quality_quantile_filter").contains("BroadcastHashJoin"))
+  }
+
+  test("seq packing: exactly one exchange — the per-source window " +
+    "partition; no global sort") {
+    val p = plan("seq_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Exchange rangepartitioning"), "global sort crept in")
+  }
+
+  test("stratified sampling is map-only: no exchange at all") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Exchange"), p.take(800))
+  }
 }
