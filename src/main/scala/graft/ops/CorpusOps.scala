@@ -39,10 +39,18 @@ object CorpusOps extends QueryModule {
     //      touches only the pair graph, never the corpus.
     Q("dup_clusters",
       (s, d) => {
-        val pairs = TextOps.jaccardPairs(s, d).select("doc_a", "doc_b")
+        // Materialize the (small) pair list once, then drop every
+        // corpus-sized input before the loop: the iterations must touch
+        // only the edge list, and nothing corpus-sized may stay pinned
+        // in a long-lived session.
+        val (rawPairs, releaseDocs) = TextOps.jaccardPairsWithRelease(s, d)
+        val pairs = rawPairs.select("doc_a", "doc_b").cache()
         val edges = pairs
           .union(pairs.select(col("doc_b"), col("doc_a")))
           .toDF("src", "dst").cache()
+        edges.count()
+        releaseDocs()
+        pairs.unpersist()
         var labels = edges.select(col("src").as("doc_id")).distinct()
           .withColumn("lab", col("doc_id")).cache()
         var changed = 1L
@@ -119,10 +127,6 @@ object CorpusOps extends QueryModule {
             FROM tr t JOIN ev e ON t.shingle = e.shingle
             GROUP BY 1""")),
 
-    // ---- Deterministic stratified sampling: keep a doc iff its
-    //      portable 60-bit hash lands under the stratum's rate —
-    //      reproducible on any engine, zero shuffle, and rebalancing
-    //      (5% of the dominant 'en' stratum, 20% of the rest).
     // ---- Sequence packing: lay each source's docs end-to-end in
     //      doc_id order and cut fixed 2048-token training sequences —
     //      each doc gets its spanning [seq_first, seq_last] window and
@@ -166,9 +170,12 @@ object CorpusOps extends QueryModule {
     //      the threshold comparison is boundary-deterministic.
     Q("quality_quantile_filter",
       (s, d) => {
+        // scored feeds both the threshold aggregate and the join probe
+        // side — cache it so the corpus is tokenized and scored once
+        // (at 100 TB: materialize the scored projection to a table).
         val scored = documents(s, d).select(col("doc_id"), col("lang"),
           round(TextOps.qualityScore(TextOps.tokens(col("text"))), 6)
-            .as("q"))
+            .as("q")).cache()
         val thr = scored.groupBy("lang")
           .agg(round(expr("percentile(q, 0.25)"), 6).as("q25"))
         scored.join(broadcast(thr), Seq("lang"))
@@ -188,6 +195,10 @@ object CorpusOps extends QueryModule {
               FROM scored s JOIN thr t ON s.lang = t.lang
               WHERE s.q > t.q25""")),
 
+    // ---- Deterministic stratified sampling: keep a doc iff its
+    //      portable 60-bit hash lands under the stratum's rate —
+    //      reproducible on any engine, zero shuffle, and rebalancing
+    //      (5% of the dominant 'en' stratum, 20% of the rest).
     Q("sample_stratified",
       (s, d) => {
         val h = PortableHashOps.h60(

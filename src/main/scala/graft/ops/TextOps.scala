@@ -44,7 +44,15 @@ object TextOps extends QueryModule {
   /** Near-dup pair finding (bigram-Jaccard ≥ 0.2 over inverted-index
     * candidates), shared by the `ngram_jaccard_pairs` query and the
     * duplicate-cluster resolution in [[CorpusOps]]. */
-  private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsWithRelease(s, d)._1
+
+  /** [[jaccardPairs]] plus a thunk releasing its internal corpus cache —
+    * for callers (dup_clusters' component loop) that materialize the
+    * pairs eagerly and must not leave a corpus-sized cache pinned in a
+    * long-lived session. */
+  private[ops] def jaccardPairsWithRelease(
+      s: SparkSession, d: String): (DataFrame, () => Unit) = {
     // docs feeds the index and both sides of the final array join —
     // cache it (at 100 TB: persist to a bucketed table instead).
     val docs = documents(s, d).select(col("doc_id"),
@@ -63,12 +71,13 @@ object TextOps extends QueryModule {
       col("grams").as("grams_a"))
     val gb = docs.select(col("doc_id").as("doc_b"),
       col("grams").as("grams_b"))
-    cands.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+    val pairs = cands.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("grams_a"), col("grams_b")))
           / size(array_union(col("grams_a"), col("grams_b"))), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.2)
+    (pairs, () => { docs.unpersist(); () })
   }
 
   /** DuckDB twin of [[jaccardPairs]]; a complete SELECT, embeddable as a
