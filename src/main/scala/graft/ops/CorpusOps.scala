@@ -195,6 +195,49 @@ object CorpusOps extends QueryModule {
               FROM scored s JOIN thr t ON s.lang = t.lang
               WHERE s.q > t.q25""")),
 
+    // ---- TF-IDF top terms: the corpus-statistic term weighting behind
+    //      keyword extraction / topic tagging. Two map-side-combinable
+    //      aggregates (term frequency per doc, document frequency per
+    //      term), the df relation joined back, the doc count as a
+    //      broadcast singleton — never a driver-side collect. Top-3 per
+    //      doc via row_number with a total-order tiebreak.
+    Q("tfidf_top_terms",
+      (s, d) => {
+        val toks = documents(s, d).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs") / col("df")), 6))
+        val byW = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))
+        w.withColumn("rank", row_number().over(byW))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"),
+            col("tfidf"), col("rank"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                     FROM toks GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              w AS (SELECT t.doc_id, t.term, t.tf,
+                      ROUND(t.tf * LN(n.n_docs / d.df), 6) AS tfidf
+                    FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n),
+              r AS (SELECT doc_id, term, tf, tfidf,
+                      CAST(ROW_NUMBER() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS INT) AS rank
+                    FROM w)
+              SELECT doc_id, term, tf, tfidf, rank
+              FROM r WHERE rank <= 3""")),
+
     // ---- Deterministic stratified sampling: keep a doc iff its
     //      portable 60-bit hash lands under the stratum's rate —
     //      reproducible on any engine, zero shuffle, and rebalancing
