@@ -173,6 +173,9 @@ object CorpusOps extends QueryModule {
         // scored feeds both the threshold aggregate and the join probe
         // side — cache it so the corpus is tokenized and scored once
         // (at 100 TB: materialize the scored projection to a table).
+        // The lazy return value keeps the cache alive; release is the
+        // session's cache lifecycle (harness clearCache / unpersist by
+        // long-lived callers), as for every internally-cached query.
         val scored = documents(s, d).select(col("doc_id"), col("lang"),
           round(TextOps.qualityScore(TextOps.tokens(col("text"))), 6)
             .as("q")).cache()
@@ -205,13 +208,21 @@ object CorpusOps extends QueryModule {
       (s, d) => {
         val toks = documents(s, d).select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("term"))
+        // tf feeds both the df aggregate and the join probe side —
+        // cache it so the corpus is exploded and term-counted once
+        // (exchange reuse across fresh expr-ids is not guaranteed).
         val tf = toks.groupBy("doc_id", "term")
-          .agg(count(lit(1)).as("tf"))
+          .agg(count(lit(1)).as("tf")).cache()
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        // ln() is the one transcendental in the oracle surface (Java
+        // Math.log and DuckDB's libm both allow a 1-ulp error), so the
+        // comparison rounds to 4 decimals — coarse enough that a
+        // last-ulp divergence cannot straddle a rounding boundary in
+        // practice, with ties broken by the exact term column.
         val w = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
           .withColumn("tfidf",
-            round(col("tf") * log(col("n_docs") / col("df")), 6))
+            round(col("tf") * log(col("n_docs") / col("df")), 4))
         val byW = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")
           .orderBy(col("tfidf").desc, col("term"))
@@ -228,7 +239,7 @@ object CorpusOps extends QueryModule {
               df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
               n AS (SELECT COUNT(*) AS n_docs FROM documents),
               w AS (SELECT t.doc_id, t.term, t.tf,
-                      ROUND(t.tf * LN(n.n_docs / d.df), 6) AS tfidf
+                      ROUND(t.tf * LN(n.n_docs / d.df), 4) AS tfidf
                     FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n),
               r AS (SELECT doc_id, term, tf, tfidf,
                       CAST(ROW_NUMBER() OVER (
