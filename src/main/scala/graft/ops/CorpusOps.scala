@@ -198,6 +198,33 @@ object CorpusOps extends QueryModule {
               FROM scored s JOIN thr t ON s.lang = t.lang
               WHERE s.q > t.q25""")),
 
+    // ---- Scale path for the quantile gate: exact percentile() buffers
+    //      every group value in the aggregation state — corpus-sized
+    //      memory at 100 TB. approx_percentile's bounded sketch
+    //      (mergeable, map-side combinable) is the path that scales;
+    //      this gate emits one row per language ONLY while the sketch
+    //      threshold stays within 0.02 of the exact one, so the driver's
+    //      rows-only check (#languages rows) is a quantitative accuracy
+    //      gate, not a "trust me". Engine-specific sketch → no SQL
+    //      oracle, same convention as the recall gates.
+    Q("quality_quantile_approx_gate",
+      (s, d) => {
+        val scored = documents(s, d).select(col("lang"),
+          round(TextOps.qualityScore(TextOps.tokens(col("text"))), 6)
+            .as("q")).cache()
+        val exact = scored.groupBy("lang")
+          .agg(round(expr("percentile(q, 0.25)"), 6).as("q25_exact"))
+        val approx = scored.groupBy("lang")
+          .agg(round(expr("approx_percentile(q, 0.25, 10000)"), 6)
+            .as("q25_approx"))
+        exact.join(approx, Seq("lang"))
+          .withColumn("abs_err",
+            round(abs(col("q25_exact") - col("q25_approx")), 6))
+          .filter(col("abs_err") <= 0.02)
+          .select("lang", "q25_exact", "q25_approx", "abs_err")
+      },
+      None),
+
     // ---- TF-IDF top terms: the corpus-statistic term weighting behind
     //      keyword extraction / topic tagging. Two map-side-combinable
     //      aggregates (term frequency per doc, document frequency per
