@@ -202,26 +202,26 @@ object CorpusOps extends QueryModule {
     //      every group value in the aggregation state — corpus-sized
     //      memory at 100 TB. approx_percentile's bounded sketch
     //      (mergeable, map-side combinable) is the path that scales;
-    //      this gate emits one row per language ONLY while the sketch
-    //      threshold stays within 0.02 of the exact one, so the driver's
-    //      rows-only check (#languages rows) is a quantitative accuracy
-    //      gate, not a "trust me". Engine-specific sketch → no SQL
-    //      oracle, same convention as the recall gates.
+    //      this gate emits its SINGLE row only while every language's
+    //      sketch threshold stays within 0.02 of the exact one — a
+    //      partial regression (one language off) zeroes the row set just
+    //      like a total one, matching the all-or-nothing recall-gate
+    //      convention. One aggregation pass computes both percentiles
+    //      (no cache, no join). Engine-specific sketch → no SQL oracle.
     Q("quality_quantile_approx_gate",
       (s, d) => {
-        val scored = documents(s, d).select(col("lang"),
+        val perLang = documents(s, d).select(col("lang"),
           round(TextOps.qualityScore(TextOps.tokens(col("text"))), 6)
-            .as("q")).cache()
-        val exact = scored.groupBy("lang")
-          .agg(round(expr("percentile(q, 0.25)"), 6).as("q25_exact"))
-        val approx = scored.groupBy("lang")
-          .agg(round(expr("approx_percentile(q, 0.25, 10000)"), 6)
-            .as("q25_approx"))
-        exact.join(approx, Seq("lang"))
-          .withColumn("abs_err",
-            round(abs(col("q25_exact") - col("q25_approx")), 6))
-          .filter(col("abs_err") <= 0.02)
-          .select("lang", "q25_exact", "q25_approx", "abs_err")
+            .as("q"))
+          .groupBy("lang")
+          .agg(round(expr("percentile(q, 0.25)"), 6).as("q25_exact"),
+            round(expr("approx_percentile(q, 0.25, 10000)"), 6)
+              .as("q25_approx"))
+        perLang
+          .agg(count(lit(1)).as("n_langs"),
+            round(max(abs(col("q25_exact") - col("q25_approx"))), 6)
+              .as("max_abs_err"))
+          .filter(col("max_abs_err") <= 0.02)
       },
       None),
 

@@ -324,18 +324,12 @@ object TextOps extends QueryModule {
     //      inverted shingle index. Hub shingles (df > 50) pruned to bound
     //      the candidate join — the standard all-pairs-similarity design.
     //      Pair finding is factored (jaccardPairs) so CorpusOps can
-    //      resolve the pairs into duplicate clusters. The (small) pair
-    //      result is materialized eagerly so the corpus-sized internal
-    //      cache can be released before the query returns.
-    Q("ngram_jaccard_pairs",
-      (s, d) => {
-        val (pairs, releaseDocs) = jaccardPairsWithRelease(s, d)
-        val out = pairs.cache()
-        out.count()
-        releaseDocs()
-        out
-      },
-      Some(jaccardPairsSql)),
+    //      resolve the pairs into duplicate clusters. Declared queries
+    //      stay LAZY (building a Q must be analysis-only — the contract
+    //      guard reads every query's schema); the internal corpus cache
+    //      follows the session cache lifecycle, while eager consumers
+    //      use jaccardPairsWithRelease to drop it themselves.
+    Q("ngram_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
 
     // ---- MinHash + LSH near-dup candidates: shingle → 16-way minhash →
     //      8 bands of 2 → bucket join → signature-agreement estimate.

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** In-repo coverage for the corpus-curation operators whose driver gate
+  * is rows-only (the approx-quantile accuracy gate) or whose invariants
+  * go beyond what the DuckDB hash compare states (cluster structure).
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx quantile gate: single all-or-nothing row, sketch within " +
+    "tolerance for every language") {
+    val rows =
+      graft.SparkEntry.queries("quality_quantile_approx_gate")(spark, sf)
+        .collect()
+    assert(rows.length == 1, "gate must emit exactly one row when green")
+    val r = rows(0)
+    assert(r.getAs[Long]("n_langs") == 5L)
+    assert(r.getAs[Double]("max_abs_err") <= 0.02)
+  }
+
+  test("dup_clusters: edge endpoints share a cluster, the canonical doc " +
+    "is the cluster min, sizes match membership") {
+    val labels = graft.SparkEntry.queries("dup_clusters")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical")))
+    val byDoc = labels.map(l => l._1 -> l._2).toMap
+    val pairs = TextOps.jaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    // every near-dup pair resolved into the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    val members = labels.groupBy(_._2)
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid: min is not the id")
+      assert(ms.forall(_._3 == ms.length), s"cluster $cid: size mismatch")
+      assert(ms.count(_._4) == 1 && ms.find(_._4).get._1 == cid,
+        s"cluster $cid: canonical flag wrong")
+    }
+    spark.catalog.clearCache()
+  }
+}
