@@ -265,6 +265,58 @@ object ClassicQueries extends QueryModule {
                 FROM lineitem l2
                 WHERE l2.l_partkey = p.p_partkey)""")),
 
+    // ---- TPC-H Q7 shape: bilateral volume shipping — the disjunctive
+    //      two-nation pairing. Selectivity first: suppliers and
+    //      customers pre-restrict to the two nations via broadcast
+    //      joins, after which the textbook OR condition
+    //      ((n1=A AND n2=B) OR (n1=B AND n2=A)) reduces to the residual
+    //      supp_nation <> cust_nation over two-valued columns — no
+    //      disjunctive join predicate survives into the fact joins, so
+    //      both stay hashable. Lineitem is scanned once with the
+    //      ship-date band pushed down.
+    Q("q7_volume_shipping",
+      (s, d) => {
+        val two = nation(s, d)
+          .filter(col("n_name").isin("NATION_18", "NATION_19"))
+        val su = supplier(s, d).join(broadcast(two),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cu = customer(s, d).join(broadcast(two),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val o = orders(s, d).join(broadcast(cu),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cust_nation"))
+        val l = lineitem(s, d)
+          .filter(col("l_shipdate") >=
+              to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                ${sqlDecSum("l_extendedprice * (1 - l_discount)")}
+                  AS revenue
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+                  OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY 1, 2, 3
+              ORDER BY 1, 2, 3""")),
+
     // ---- rank family over event values per user (rank/dense_rank are
     //      deterministic under ties; percent_rank is exact rational math).
     Q("x5_rank_windows",

@@ -164,6 +164,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), "global sort crept in")
   }
 
+  test("q7: nation pairing lands as broadcast dims with the ship-date " +
+    "band pushed to the fact scan — no disjunctive join predicate") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "band not pushed")
+    assert(!p.toLowerCase.contains("broadcastnestedloopjoin"),
+      "disjunctive predicate degraded a join to nested-loop")
+  }
+
   test("stratified sampling is map-only: no exchange at all") {
     val p = plan("sample_stratified")
     assert(!p.contains("Exchange"), p.take(800))
