@@ -100,7 +100,10 @@ object Pipeline {
     * the rewrite to those YYYYMMDD partitions PLUS the '00000000'
     * sentinel, where rows with a null tx_time (tx whose block is missing)
     * land — the sentinel stays in scope on every run so those rows are
-    * never silently dropped by the date filter. */
+    * never silently dropped by the date filter. A restricted run also
+    * widens its scope to the destination dates of every transaction that
+    * previously lived in the sentinel (see below) — callers never need to
+    * anticipate which dates a late block re-dates. */
   def writeBuildIncremental(bld: Build, outDir: String,
       loadDates: Option[Seq[String]] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, date_format, lit}
@@ -108,11 +111,34 @@ object Pipeline {
         cluster: Seq[String]): Unit = {
       val dated = df.withColumn("load_date",
         coalesce(date_format(col(timeCol), "yyyyMMdd"), lit("00000000")))
-      // the sentinel partition is ALWAYS in scope: a restricted rewrite
+      val sentinelPath = new org.apache.hadoop.fs.Path(
+        s"$outDir/$name/load_date=00000000")
+      val fs = sentinelPath.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      // The sentinel partition is ALWAYS in scope (a restricted rewrite
       // that filtered it out would silently drop this build's null-time
-      // rows
-      val scoped = loadDates.fold(dated)(ds =>
-        dated.filter(col("load_date").isin((ds :+ "00000000").distinct: _*)))
+      // rows), and a restricted scope is WIDENED to the current load_date
+      // of every formerly-sentinel transaction: when a late block re-dates
+      // sentinel rows to a date outside `loadDates`, writing without the
+      // widening would drop those rows while the cleanup below deletes
+      // their only stored copy — they would exist in no partition. The
+      // sentinel partition is small by construction (only blockless tx),
+      // so the extra semi-join probe is bounded.
+      val scoped = loadDates.fold(dated) { ds =>
+        val dests =
+          if (!fs.exists(sentinelPath)) Nil
+          else {
+            val formerlySentinel = df.sparkSession.read
+              .parquet(sentinelPath.toString)
+              .select(col("transaction_hash")).distinct()
+            dated.join(formerlySentinel, Seq("transaction_hash"),
+                "left_semi")
+              .select("load_date").distinct()
+              .collect().map(_.getString(0)).toSeq // bounded: dates only
+          }
+        dated.filter(
+          col("load_date").isin((ds ++ dests :+ "00000000").distinct: _*))
+      }
       scoped
         .repartition(cluster.map(col): _*)
         .sortWithinPartitions(cluster.map(col): _*)
@@ -123,11 +149,9 @@ object Pipeline {
       // data: when a formerly-missing block arrives and its tx rows move
       // from the sentinel to a real date, this build has no sentinel rows
       // and the stale sentinel partition would survive next to the
-      // re-dated rows — duplicate rows on read. Clear it explicitly.
-      val sentinelPath = new org.apache.hadoop.fs.Path(
-        s"$outDir/$name/load_date=00000000")
-      val fs = sentinelPath.getFileSystem(
-        df.sparkSession.sparkContext.hadoopConfiguration)
+      // re-dated rows — duplicate rows on read. Clear it explicitly —
+      // safe because the scope widening above guarantees the re-dated
+      // rows' destination partitions were just (re)written.
       if (fs.exists(sentinelPath) &&
           scoped.filter(col("load_date") === "00000000").isEmpty)
         fs.delete(sentinelPath, true)

@@ -37,6 +37,16 @@ object CorpusOps extends QueryModule {
     //      propagation: labels only ever decrease and are bounded, so
     //      the loop converges in <= diameter iterations; each iteration
     //      touches only the pair graph, never the corpus.
+    //
+    //      Marked EAGER: the round count is convergence-driven (an
+    //      action per round), so this cannot be one lazy plan — Spark
+    //      4.1's native recursive CTE would be, but it only accepts
+    //      UNION ALL in the recursive step, which never terminates on a
+    //      cyclic edge list. The final labels are localCheckpoint-ed so
+    //      the returned plan holds no pinned SQL cache: every
+    //      intermediate cache is unpersisted before returning, and the
+    //      checkpoint blocks are freed by the ContextCleaner when the
+    //      result is dropped.
     Q("dup_clusters",
       (s, d) => {
         // Materialize the (small) pair list once, then drop every
@@ -69,13 +79,16 @@ object CorpusOps extends QueryModule {
           rounds += 1
         }
         require(changed == 0, s"label propagation not converged after $rounds rounds")
-        edges.unpersist()
         val sizes = labels.groupBy("lab")
           .agg(count(lit(1)).as("cluster_size"))
-        labels.join(sizes, Seq("lab"))
+        val out = labels.join(sizes, Seq("lab"))
           .select(col("doc_id"), col("lab").as("cluster_id"),
             col("cluster_size"),
             (col("doc_id") === col("lab")).as("is_canonical"))
+          .localCheckpoint(true) // materialize, then drop every cache
+        edges.unpersist()
+        labels.unpersist()
+        out
       },
       Some(s"""WITH RECURSIVE
             pairs AS (SELECT doc_a, doc_b
@@ -94,7 +107,8 @@ object CorpusOps extends QueryModule {
               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                 AS cluster_size,
               doc_id = cluster_id AS is_canonical
-            FROM lab""")),
+            FROM lab"""),
+      eager = true),
 
     // ---- Eval-set decontamination: training docs sharing any word
     //      trigram with the held-out eval slice (doc_id % 20 = 0 stands

@@ -10,7 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Whether `fn` runs Spark JOBS during construction (iterative
+      * algorithms whose round count is data-dependent cannot be a single
+      * lazy plan). Almost every query must stay lazy — analysis-only
+      * callers (schema sweeps) invoke `fn` for every registered query.
+      * Eager queries are exempted from those sweeps and must (a) release
+      * every cache they pin before returning (checkpoint the final
+      * result, unpersist the intermediates) and (b) carry a ScalaTest
+      * that executes them and pins the output schema. */
+    eager: Boolean = false)
 
 /** SQL-expressed queries need a catalog name for their input; a FIXED view
   * name collides when two suites (or two sf dirs) share one session. This

@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
 object RecallOps extends QueryModule {
 
   /** One-row recall readout of `approx` against `exact` on `keys`.
-    * Both inputs carry unique key tuples (top-k rows / distinct pairs),
-    * so the left join cannot duplicate exact rows. */
+    * The exact twins are oracle-verified unique; the approx side is
+    * deduplicated DEFENSIVELY — if an approximate query ever regresses
+    * into emitting duplicate key tuples, a raw left join would fan out
+    * exact rows and inflate n_exact and n_hit together, letting the gate
+    * pass on exactly the regression it exists to catch. */
   private def recallRow(exact: DataFrame, approx: DataFrame,
       keys: Seq[String], threshold: Double): DataFrame = {
-    val hits = approx.select(keys.map(col): _*).withColumn("hit", lit(1))
+    val hits = approx.select(keys.map(col): _*).distinct()
+      .withColumn("hit", lit(1))
     exact.select(keys.map(col): _*)
       .join(hits, keys, "left")
       .agg(count(lit(1)).as("n_exact"),

@@ -36,18 +36,27 @@ class SparkEntrySpec extends AnyFunSuite {
     // between Spark parquet and DuckDB: r1 had 8 value-identical queries
     // fail on DECIMAL(38,6) outputs alone. Aggregate in decimal, but the
     // FINAL compared schema must be decimal-free (Parity.outDec).
-    // .schema is analysis-only — cheap to check for every query.
+    // .schema is analysis-only — cheap to check for every LAZY query.
+    // Q.eager queries run real jobs at construction, so they are swept
+    // by their own executing specs instead (CorpusOpsSpec pins
+    // dup_clusters' schema decimal-free).
     val spark = SparkSpec.session
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val decimalCols = fn(spark, "/root/testdata/sf0.001").schema.fields
+    val offenders = modules.flatMap(_.all).filterNot(_.eager)
+      .sortBy(_.name).flatMap { q =>
+        val decimalCols = q.fn(spark, "/root/testdata/sf0.001").schema.fields
           .filter(_.dataType.isInstanceOf[
             org.apache.spark.sql.types.DecimalType])
           .map(_.name)
         if (decimalCols.isEmpty) None
-        else Some(s"$name(${decimalCols.mkString(",")})")
-    }
+        else Some(s"${q.name}(${decimalCols.mkString(",")})")
+      }
     assert(offenders.isEmpty,
       s"decimal output columns break the driver hash: $offenders")
+  }
+
+  test("eager queries stay the rare, documented exception") {
+    val eager = modules.flatMap(_.all).filter(_.eager).map(_.name)
+    assert(eager == Seq("dup_clusters"),
+      s"new eager query needs its own executing schema spec: $eager")
   }
 }

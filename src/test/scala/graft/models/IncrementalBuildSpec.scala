@@ -96,6 +96,43 @@ class IncrementalBuildSpec extends SparkSpec {
       "stale sentinel partition survived the incremental rewrite")
   }
 
+  test("re-dated sentinel rows whose destination date is OUTSIDE the " +
+    "rewrite scope are still written (scope widening), never lost") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val out = Files.createTempDirectory("graft-incr-redate")
+    // minimal date-closed table: h1's block is missing on day 1 (null
+    // tx_time → sentinel); h2 is a normal day-1 row
+    def flows(h1Time: Option[String]) = {
+      import spark.implicits._
+      Seq("h1" -> h1Time, "h2" -> Some("2025-08-20 10:00:00"))
+        .toDF("transaction_hash", "t")
+        .select(col("transaction_hash"),
+          to_timestamp(col("t")).as("tx_time"),
+          lit("a").as("source_address"),
+          lit("b").as("destination_address"))
+    }
+    def bld(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.Build(df, df, df, df, df, df, df, df, df, df)
+    Pipeline.writeBuildIncremental(bld(flows(None)), out.toString)
+    val flowsDir = out.resolve("int_transaction_flows")
+    assert(Files.isDirectory(flowsDir.resolve("load_date=00000000")),
+      "null-time row did not land in the sentinel partition")
+    // h1's block arrives: it re-dates to 20250820, but the incremental
+    // run is scoped to a DIFFERENT day. Without scope widening the write
+    // filters h1 out while the sentinel cleanup deletes its only copy.
+    Pipeline.writeBuildIncremental(
+      bld(flows(Some("2025-08-20 10:05:00"))), out.toString,
+      loadDates = Some(Seq("20250920")))
+    assert(!Files.exists(flowsDir.resolve("load_date=00000000")),
+      "stale sentinel partition survived")
+    val rows = spark.read.parquet(flowsDir.toString)
+      // partition values are type-inferred on read (integer here)
+      .select(col("transaction_hash"), col("load_date").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq("h1" -> "20250820", "h2" -> "20250820"),
+      s"re-dated row lost or duplicated: ${rows.mkString(", ")}")
+  }
+
   test("day-2 partitions contain exactly the day-2 transactions") {
     val (raw, out) = dirs
     val bld = Pipeline.readRaw(spark, raw.toString)

@@ -23,7 +23,17 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("dup_clusters: edge endpoints share a cluster, the canonical doc " +
     "is the cluster min, sizes match membership") {
-    val labels = graft.SparkEntry.queries("dup_clusters")(spark, sf)
+    val result = graft.SparkEntry.queries("dup_clusters")(spark, sf)
+    // dup_clusters is the one Q.eager query, exempt from SparkEntrySpec's
+    // analysis-only sweeps — pin its contract here instead: the schema is
+    // decimal-free (driver hash gate) and construction leaves no cache
+    // pinned (the result is checkpointed; intermediates are released).
+    assert(result.schema.fields.map(f => f.name -> f.dataType.typeName)
+      .toSeq == Seq("doc_id" -> "long", "cluster_id" -> "long",
+        "cluster_size" -> "long", "is_canonical" -> "boolean"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dup_clusters construction left a SQL cache pinned")
+    val labels = result
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
         r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical")))
