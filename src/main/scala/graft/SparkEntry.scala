@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] =
     Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
-      Extensions, PortableHashOps, ClassicQueries, RecallOps, CorpusOps)
+      Extensions, PortableHashOps, ClassicQueries, ClassicQueries2,
+      RecallOps, CorpusOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The recursive multi-hop trace is the reference's flagship

@@ -8,7 +8,8 @@ class SparkEntrySpec extends AnyFunSuite {
 
   private val modules: Seq[QueryModule] =
     Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
-      Extensions, PortableHashOps, ClassicQueries, RecallOps, CorpusOps)
+      Extensions, PortableHashOps, ClassicQueries, ClassicQueries2,
+      RecallOps, CorpusOps)
 
   test("no duplicate query keys across modules (a collision would " +
     "silently drop an operator from the gate)") {

@@ -177,4 +177,77 @@ class PlanSpec extends SparkSpec {
     val p = plan("sample_stratified")
     assert(!p.contains("Exchange"), p.take(800))
   }
+
+  test("q6: pure scan-aggregate — all three predicates pushed, no " +
+    "shuffle beyond the single-row final agg") {
+    val p = plan("q6_forecast_revenue")
+    // the toString truncates PushedFilters mid-list, so pin the prefix:
+    // all three columns' null guards land in the pushed set (their range
+    // predicates follow in the same list)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity)"), p.take(900))
+    assert(!p.contains("Join"), p.take(900))
+    assert(p.contains("partial_sum"), p.take(900))
+  }
+
+  test("q8/q14: the conditional-ratio aggregates run as ONE aggregate " +
+    "pass (numerator and denominator together, no self-join)") {
+    for (n <- Seq("q8_market_share", "q14_promo_revenue")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n dims not broadcast")
+      // one aggregation pipeline: a CASE-sum next to the plain sum, not
+      // a union/self-join of two scans of the filtered fact
+      assert(!p.contains("Union"), s"$n split into a self-union")
+    }
+  }
+
+  test("q13: the outer-join count distribution keeps the ON-clause " +
+    "filter on the right side (no post-join filter breaking LEFT rows)") {
+    val df = graft.SparkEntry.queries("q13_customer_distribution")(
+      spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the priority filter sits under the join, not above it
+    assert(opt.contains("LeftOuter"), opt.take(1200))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("q15: the scalar MAX over the revenue CTE plans as a subquery " +
+    "stage, not a per-row re-aggregation") {
+    val df = graft.SparkEntry.queries("q15_top_supplier")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the equality filter references one scalar subquery result
+    assert(opt.contains("scalar-subquery") || opt.contains("Join"),
+      opt.take(1500))
+  }
+
+  test("q17: the correlated per-part average is decorrelated — no " +
+    "correlated subquery survives the optimizer") {
+    val df = graft.SparkEntry.queries("q17_small_qty_revenue")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"), opt.take(1500))
+    assert(opt.contains("Aggregate"), opt.take(1500))
+  }
+
+  test("q19: the disjunctive predicate stays a residual over a hash " +
+    "join — never a nested-loop") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.toLowerCase.contains("broadcastnestedloopjoin"),
+      "OR predicate degraded the join to nested-loop")
+  }
+
+  test("q20: the nested having-sum chain plans as a semi-join into the " +
+    "supplier dim with a two-phase quantity aggregate") {
+    val p = plan("q20_excess_inventory")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("q22: anti-join against orders plus a broadcast one-row average") {
+    val p = plan("q22_global_sales")
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }
