@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import Parity._
+
+/** Graph analytics over the events-derived transfer graph — the natural
+  * extension of the reference's fund-tracing domain
+  * (transaction_tracing/app.py:339-366 traces paths; these operators
+  * answer the follow-up questions an analyst asks of the same graph:
+  * which addresses cluster together, which are structurally important,
+  * how far does tainted value spread, how inter-connected is a
+  * neighborhood).
+  *
+  * Scale designs:
+  *  - Connected components: min-label propagation — O(diameter) rounds
+  *    of a join on the EDGE list only (the vertex payload never enters
+  *    the loop). At adversarial diameters switch the round body to
+  *    large-star/small-star (Kiveris et al., "Connected Components in
+  *    MapReduce and Beyond", SoCC'14) for O(log n) rounds — same join
+  *    primitive.
+  *  - PageRank / taint: a FIXED iteration count unrolls into one lazy
+  *    plan — each iteration is a single shuffle on the destination key
+  *    plus a broadcast of the one-row node count; no driver-side
+  *    actions, no caching requirement. Contributions are rounded into
+  *    DECIMAL(28,12) before the per-destination sum so the aggregate is
+  *    accumulation-order-independent (ops/Parity discipline — a double
+  *    sum would drift between partial-agg orders, let alone engines).
+  *  - Triangles: the standard ordered-edge wedge join — orienting every
+  *    edge low→high counts each triangle exactly once and caps wedge
+  *    fan-out by the ordered degree (the classic degree-ordering
+  *    optimization falls out of the a<b<c orientation).
+  */
+object GraphOps extends QueryModule {
+
+  /** Undirected block-ring graph: nodes (user_id%200)*5 + k are wired in
+    * a ring inside each block of 5, so edges NEVER cross blocks — the
+    * per-block membership is a test-able invariant of the components. */
+  def blockRingEdges(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      ((col("user_id") % 200) * 5 + col("event_id") % 5).as("src"),
+      ((col("user_id") % 200) * 5 + (col("event_id") + 1) % 5).as("dst"))
+      .distinct()
+
+  /** Weighted directed transfer graph on the SAME 50-node domain as the
+    * trace edge set (TraceOps.edgeSet) — one graph, several analyses.
+    * Both endpoints share the domain so multi-hop propagation never
+    * dead-ends (user_id's raw range is tiny at small scale factors, so
+    * an asymmetric modulus would make the graph near-bipartite and
+    * strand the second hop). Weights are exact decimal value sums so
+    * flow ratios are engine-portable. */
+  def transferEdges(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy((col("user_id") % 50).as("src"),
+        (col("event_id") % 50).as("dst"))
+      .agg(sum(dec(col("value"))).as("w"))
+
+  /** Connected components by min-label propagation over an undirected
+    * edge list. Convergence-driven round count → EAGER (same contract
+    * as dup_clusters): every cache is released before returning and the
+    * result is checkpointed so no plan state stays pinned. */
+  def connectedComponents(symEdges: DataFrame): DataFrame = {
+    val edges = symEdges.cache()
+    edges.count()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("lab"))
+      val next = labels.union(prop).groupBy("node")
+        .agg(min("lab").as("lab")).cache()
+      changed = next
+        .join(labels.withColumnRenamed("lab", "prev"), Seq("node"))
+        .filter(col("lab") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"components not converged after $rounds rounds")
+    val sizes = labels.groupBy("lab")
+      .agg(count(lit(1)).as("component_size"))
+    val out = labels.join(sizes, Seq("lab"))
+      .select(col("node"), col("lab").as("component_id"),
+        col("component_size"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    labels.unpersist()
+    out
+  }
+
+  /** Simplified PageRank (no dangling-mass redistribution — dropped
+    * mass is identical on both engines, so the oracle still matches),
+    * damping 0.85, `iters` fixed iterations unrolled into ONE lazy
+    * plan. */
+  def pagerank(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val e = TraceOps.edgeSet(s, d) // distinct (src,dst), bounded domain
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val ewd = e.join(broadcast(deg), "src")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var pr = nodes.crossJoin(broadcast(n))
+      .select(col("node"), round(lit(1.0) / col("n_nodes"), 12).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(ewd, col("node") === col("src"))
+        .select(col("dst"),
+          (col("pr") / col("od")).cast(DecimalType(28, 12)).as("c"))
+      val insum = contrib.groupBy("dst")
+        .agg(sum(col("c")).cast("double").as("insum"))
+      pr = nodes.crossJoin(broadcast(n))
+        .join(insum, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(0.15) / col("n_nodes") +
+            lit(0.85) * coalesce(col("insum"), lit(0.0)), 12).as("pr"))
+    }
+    pr.orderBy("node")
+  }
+
+  /** DuckDB twin of [[pagerank]]: the same fixed iterations unrolled as
+    * chained CTEs with the identical decimal-rounded contribution sum. */
+  private def pagerankSql(iters: Int): String = {
+    val base = s"""WITH edges AS (
+        SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
+        FROM events),
+      deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+      nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+      n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+      pr0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / n_nodes, 12) AS pr
+              FROM nodes CROSS JOIN n)"""
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+      pr$i AS (
+        SELECT nodes.node,
+          ROUND(CAST(0.15 AS DOUBLE) / n.n_nodes +
+            CAST(0.85 AS DOUBLE) *
+            COALESCE(s$i.insum, CAST(0.0 AS DOUBLE)), 12) AS pr
+        FROM nodes CROSS JOIN n
+        LEFT JOIN (
+          SELECT e.dst,
+            CAST(SUM(CAST(p.pr / d.od AS DECIMAL(28,12))) AS DOUBLE)
+              AS insum
+          FROM pr${i - 1} p
+          JOIN edges e ON p.node = e.src
+          JOIN deg d ON d.src = e.src
+          GROUP BY 1) s$i ON s$i.dst = nodes.node)"""
+    }.mkString
+    base + iterCtes + s"\nSELECT node, pr FROM pr$iters ORDER BY node"
+  }
+
+  /** Haircut taint propagation: unit taint at `source` flows along
+    * edges in proportion to each edge's share of its source's total
+    * outflow; `hops` fixed hops unrolled into one lazy plan. Returns
+    * per-node taint after the final hop. */
+  def haircutTaint(s: SparkSession, d: String, source: Long,
+      hops: Int): DataFrame = {
+    val w = transferEdges(s, d)
+    val outflow = w.groupBy("src").agg(sum(col("w")).as("total_out"))
+    val ratio = w.join(outflow, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("total_out").cast("double"))
+          .as("ratio"))
+    var taint: DataFrame = s.range(1)
+      .select(lit(source).as("node"), lit(1.0).as("taint"))
+    for (_ <- 1 to hops) {
+      taint = taint.join(ratio, col("node") === col("src"))
+        .select(col("dst"),
+          (col("taint") * col("ratio")).cast(DecimalType(28, 12)).as("c"))
+        .groupBy("dst").agg(sum(col("c")).cast("double").as("taint"))
+        .withColumnRenamed("dst", "node")
+    }
+    taint.filter(col("taint") > 0).orderBy("node")
+  }
+
+  /** DuckDB twin of [[haircutTaint]]. */
+  private def taintSql(source: Long, hops: Int): String = {
+    val base = s"""WITH w AS (
+        SELECT user_id % 50 AS src, event_id % 50 AS dst,
+          SUM(CAST(value AS DECIMAL(18,6))) AS w
+        FROM events GROUP BY 1, 2),
+      outflow AS (SELECT src, SUM(w) AS total_out FROM w GROUP BY 1),
+      ratio AS (
+        SELECT w.src, w.dst,
+          CAST(w.w AS DOUBLE) / CAST(o.total_out AS DOUBLE) AS ratio
+        FROM w JOIN outflow o ON o.src = w.src),
+      t0 AS (SELECT CAST($source AS BIGINT) AS node,
+             CAST(1.0 AS DOUBLE) AS taint)"""
+    val iterCtes = (1 to hops).map { i =>
+      s""",
+      t$i AS (
+        SELECT r.dst AS node,
+          CAST(SUM(CAST(t.taint * r.ratio AS DECIMAL(28,12))) AS DOUBLE)
+            AS taint
+        FROM t${i - 1} t JOIN ratio r ON r.src = t.node
+        GROUP BY 1)"""
+    }.mkString
+    base + iterCtes +
+      s"\nSELECT node, taint FROM t$hops WHERE taint > 0 ORDER BY node"
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ---- Address clustering: connected components over the undirected
+    //      block-ring graph. EAGER (convergence-driven rounds); the
+    //      ScalaTest pins schema + the blocks-never-mix invariant.
+    Q("graph_cc_components",
+      (s, d) => {
+        val e = blockRingEdges(s, d)
+        connectedComponents(
+          e.union(e.select(col("dst"), col("src"))).toDF("src", "dst"))
+      },
+      Some("""WITH RECURSIVE
+              base AS (
+                SELECT DISTINCT (user_id % 200) * 5 + event_id % 5 AS src,
+                  (user_id % 200) * 5 + (event_id + 1) % 5 AS dst
+                FROM events),
+              edges AS (SELECT src, dst FROM base
+                        UNION SELECT dst, src FROM base),
+              reach(node, lab) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lab
+                FROM reach r JOIN edges e ON e.src = r.node),
+              lab AS (SELECT node, MIN(lab) AS component_id
+                      FROM reach GROUP BY 1)
+              SELECT node, component_id,
+                CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+                  AS component_size
+              FROM lab"""),
+      eager = true),
+
+    // ---- Structural importance: 3-iteration PageRank over the trace
+    //      edge set — one lazy plan, per-iteration decimal-exact
+    //      contribution sums.
+    Q("graph_pagerank",
+      (s, d) => pagerank(s, d, iters = 3),
+      Some(pagerankSql(iters = 3))),
+
+    // ---- Taint spread: unit taint at node 7, 3 proportional hops over
+    //      the weighted transfer graph.
+    Q("graph_taint_haircut",
+      (s, d) => haircutTaint(s, d, source = 7L, hops = 3),
+      Some(taintSql(source = 7L, hops = 3))),
+
+    // ---- Neighborhood inter-connectedness: global triangle count via
+    //      the ordered wedge join (each triangle counted once as
+    //      a < b < c). The mod-7 filter keeps the synthetic graph
+    //      sparse enough that wedge fan-out stays bounded.
+    Q("graph_triangles",
+      (s, d) => {
+        val raw = events(s, d).filter(col("event_id") % 7 === 0)
+          .select((col("user_id") % 2000).as("x"),
+            (col("event_id") % 2000).as("y"))
+        val und = raw
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val wedge = und.join(
+          und.select(col("a").as("b2"), col("b").as("c")),
+          col("b") === col("b2"))
+        wedge.join(
+            und.select(col("a").as("a3"), col("b").as("c3")),
+            col("a") === col("a3") && col("c") === col("c3"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some("""WITH raw AS (
+                SELECT user_id % 2000 AS x, event_id % 2000 AS y
+                FROM events WHERE event_id % 7 = 0),
+              und AS (
+                SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM raw WHERE x <> y)
+              SELECT COUNT(*) AS n_triangles
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""")),
+
+    // ---- Hub readout (the "richest addresses" analog): top-20 sources
+    //      by total outflow with fan-out, total-order tiebreak on src.
+    Q("graph_degree_hubs",
+      (s, d) => {
+        val e = events(s, d).select((col("user_id") % 2000).as("src"),
+          (col("event_id") % 2000).as("dst"), col("value"))
+        e.groupBy("src")
+          .agg(countDistinct(col("dst")).as("out_deg"),
+            decSum(col("value")).as("outflow"))
+          .orderBy(desc("outflow"), asc("src")).limit(20)
+      },
+      Some(s"""SELECT user_id % 2000 AS src,
+                COUNT(DISTINCT event_id % 2000) AS out_deg,
+                ${sqlDecSum("value")} AS outflow
+              FROM events
+              GROUP BY 1
+              ORDER BY outflow DESC, src LIMIT 20"""))
+  )
+}

@@ -9,7 +9,7 @@ class SparkEntrySpec extends AnyFunSuite {
   private val modules: Seq[QueryModule] =
     Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
       Extensions, PortableHashOps, ClassicQueries, ClassicQueries2,
-      RecallOps, CorpusOps)
+      RecallOps, CorpusOps, GraphOps)
 
   test("no duplicate query keys across modules (a collision would " +
     "silently drop an operator from the gate)") {
@@ -57,7 +57,9 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("eager queries stay the rare, documented exception") {
     val eager = modules.flatMap(_.all).filter(_.eager).map(_.name)
-    assert(eager == Seq("dup_clusters"),
+    // each entry here carries an executing schema spec: CorpusOpsSpec
+    // for dup_clusters, GraphOpsSpec for graph_cc_components
+    assert(eager.sorted == Seq("dup_clusters", "graph_cc_components"),
       s"new eager query needs its own executing schema spec: $eager")
   }
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Executes the graph operators at sf0.001 and pins the structural
+  * invariants the oracles cannot express: component/block consistency
+  * for the eager CC query, taint mass conservation, PageRank mass
+  * bounds, and the lazy/eager contract.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("graph_cc_components (eager): schema + blocks never mix") {
+    val out = graft.SparkEntry.queries("graph_cc_components")(spark, sf)
+    assert(out.columns.toSeq ==
+      Seq("node", "component_id", "component_size"))
+    // Edges are wired inside blocks of 5 by construction, so every
+    // node's component root lives in the node's own block — and a
+    // component can never span blocks or exceed the block size.
+    val crossBlock = out
+      .filter(col("node").divide(5).cast("long") =!=
+        col("component_id").divide(5).cast("long")).count()
+    assert(crossBlock == 0, "a component leaked across ring blocks")
+    val oversize = out.filter(col("component_size") > 5).count()
+    assert(oversize == 0, "component larger than its ring block")
+    // the component root labels itself
+    val roots = out.filter(col("node") === col("component_id"))
+    assert(roots.count() ==
+      out.select(countDistinct(col("component_id"))).head.getLong(0))
+    // eager contract: no cache left pinned after construction
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graph_cc_components left a cached plan pinned")
+  }
+
+  test("graph_pagerank: probability mass stays in (0, 1] and every " +
+    "node gets the floor share") {
+    val pr = graft.SparkEntry.queries("graph_pagerank")(spark, sf)
+      .select(col("node"), col("pr")).collect()
+    val total = pr.map(_.getDouble(1)).sum
+    // without dangling-mass redistribution the total leaks mass but
+    // can never exceed 1 (+ rounding slack)
+    assert(total > 0.0 && total <= 1.0 + 1e-6, s"mass=$total")
+    val floor = 0.15 / pr.length
+    assert(pr.forall(_.getDouble(1) >= floor - 1e-9),
+      "a node fell below the (1-d)/N floor")
+  }
+
+  test("graph_taint_haircut: per-hop taint mass never grows and the " +
+    "frontier never dead-ends") {
+    // haircut split is conservative: each hop redistributes at most
+    // the mass that reached the previous frontier (exactly all of it
+    // when every frontier node has outgoing edges)
+    for (h <- 1 to 3) {
+      val r = GraphOps.haircutTaint(spark, sf, source = 7L, hops = h)
+        .agg(sum(col("taint")), count(lit(1))).head
+      assert(!r.isNullAt(0), s"hop $h frontier is empty")
+      val t = r.getDouble(0)
+      assert(t > 0.0 && t <= 1.0 + 1e-6, s"hop $h mass=$t")
+    }
+  }
+
+  test("graph_triangles: count matches the brute-force subgraph check") {
+    // brute-force on the tiny sf0.001 graph: materialize the undirected
+    // edge set and count closing triples driver-side
+    val und = graft.Tables.events(spark, sf)
+      .filter(col("event_id") % 7 === 0)
+      .select((col("user_id") % 2000).as("x"),
+        (col("event_id") % 2000).as("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byA = und.groupBy(_._1)
+    val brute = und.toSeq.map { case (a, b) =>
+      byA.getOrElse(b, Nil).count { case (_, c) => und.contains((a, c)) }
+    }.sum
+    val got = graft.SparkEntry.queries("graph_triangles")(spark, sf)
+      .head.getLong(0)
+    assert(got == brute, s"spark=$got brute=$brute")
+  }
+
+  test("lazy graph queries stay lazy: the returned plan is declarative " +
+    "(no materialized RDD scan), and no cache is pinned") {
+    // (job-count assertions are too blunt here: parquet footer/schema
+    // reads legitimately run tiny jobs at analysis time)
+    for (n <- Seq("graph_pagerank", "graph_taint_haircut",
+        "graph_triangles", "graph_degree_hubs")) {
+      val df = graft.SparkEntry.queries(n)(spark, sf)
+      val logical = df.queryExecution.logical.toString
+      assert(!logical.contains("LogicalRDD"),
+        s"$n returned a checkpointed/materialized plan")
+      assert(!logical.contains("InMemoryRelation"), s"$n pinned a cache")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a lazy graph query left a cached plan pinned")
+  }
+}
