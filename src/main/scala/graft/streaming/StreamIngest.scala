@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -119,4 +119,101 @@ object StreamIngest {
       .queryName(queryName)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
+
+  /** Streaming dedup where REDELIVERIES carry different event times
+    * (a retried fetch stamps a new time): state is keyed on the natural
+    * key alone and evicted once the watermark passes the FIRST arrival
+    * plus the delay — the contract dedupStream (key+time equality)
+    * cannot express. */
+  def dedupStreamWithinWatermark(df: DataFrame, eventTimeCol: String,
+      delay: String, keys: String*): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
+  /** Idempotent micro-batch write: the exactly-once recipe for sinks
+    * without transactions. Each batch lands in its own
+    * `batch_id=<id>` directory and is sealed by a commit marker written
+    * AFTER the data: on failure-replay (foreachBatch re-delivers the
+    * same batchId after restart) a sealed batch is skipped and a
+    * half-written one is overwritten — either way the output converges
+    * to exactly-once. Local-FS marker here; on an object store the same
+    * protocol runs through the FileSystem API (rename-commit). */
+  def writeBatchIdempotent(batch: Dataset[Row], outDir: String,
+      batchId: Long): Boolean = {
+    val marker = java.nio.file.Paths.get(outDir, s"_committed_$batchId")
+    if (java.nio.file.Files.exists(marker)) false
+    else {
+      batch.write.mode("overwrite")
+        .parquet(s"$outDir/batch_id=$batchId")
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      true
+    }
+  }
+
+  /** foreachBatch sink wrapping [[writeBatchIdempotent]]. */
+  def toIdempotentParquetSink(df: DataFrame,
+      outDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        writeBatchIdempotent(batch, outDir, batchId); ()
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** Custom-state sessionization via flatMapGroupsWithState with
+    * EventTimeTimeout — the explicit-eviction counterpart of
+    * [[sessionWindows]]: the ONLY state per key is its open session
+    * (closed sessions emit immediately, in-batch), and the event-time
+    * timeout flushes an open session once the watermark proves no late
+    * row can extend it. Contrast [[runningAddressFlow]]'s NoTimeout:
+    * fine for a bounded key domain, an unbounded store otherwise —
+    * timeouts ARE the scale contract for custom state. */
+  def sessionizeWithState(spark: SparkSession, events: DataFrame,
+      eventTimeCol: String, delay: String, gapMs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // watermark AFTER the cast projection: a cast on the watermarked
+    // column would mint a fresh attribute without the event-time tag
+    val typed = events
+      .select(col("user_id").cast("long"),
+        col(eventTimeCol).cast("timestamp"))
+      .withWatermark(eventTimeCol, delay)
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+          (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, e0, n0) = state.get
+            state.remove()
+            Iterator((userId, new java.sql.Timestamp(s0),
+              new java.sql.Timestamp(e0), n0))
+          } else {
+            val times = rows.map(_._2.getTime).toVector.sorted
+            var closed = Vector.empty[(Long, Long, Long)]
+            var cur = state.getOption
+            for (t <- times) cur match {
+              case Some((s0, e0, n0)) if t - e0 <= gapMs =>
+                cur = Some((s0, math.max(e0, t), n0 + 1))
+              case Some(sess) =>
+                closed :+= sess
+                cur = Some((t, t, 1L))
+              case None =>
+                cur = Some((t, t, 1L))
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // never set a timeout at/below the watermark (illegal);
+              // the +1 keeps a just-expired session flushable next batch
+              state.setTimeoutTimestamp(math.max(c._2 + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator.map { case (s0, e0, n0) =>
+              (userId, new java.sql.Timestamp(s0),
+                new java.sql.Timestamp(e0), n0)
+            }
+          }
+      }.toDF("user_id", "sess_start", "sess_end", "n_events")
+  }
 }

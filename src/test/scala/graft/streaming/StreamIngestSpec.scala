@@ -138,6 +138,126 @@ class StreamIngestSpec extends SparkSpec {
     assert(n == expected && n > 0)
   }
 
+  private def writeCsvFiles(prefix: String,
+      files: Seq[Seq[String]]): java.nio.file.Path = {
+    val dir = Files.createTempDirectory(prefix)
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val f = dir.resolve(f"part_$i%03d.csv")
+      Files.writeString(f, ("user_id,ts" +: rows).mkString("\n") + "\n")
+      // deterministic batch order under maxFilesPerTrigger=1 (the file
+      // source orders by modification time)
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000))
+    }
+    dir
+  }
+
+  private val evSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "user_id LONG, ts TIMESTAMP")
+
+  private def readEvStream(dir: java.nio.file.Path,
+      perTrigger: Int): org.apache.spark.sql.DataFrame =
+    spark.readStream.schema(evSchema).option("header", "true")
+      .option("maxFilesPerTrigger", perTrigger)
+      .csv(dir.toString)
+
+  test("dedupStreamWithinWatermark drops redeliveries that carry " +
+    "DIFFERENT event times (key-only state)") {
+    val dir = writeCsvFiles("graft-stream-wmdedup", Seq(Seq(
+      "1,2026-01-01 10:00:00",
+      "1,2026-01-01 10:03:00", // retried send, re-stamped time
+      "2,2026-01-01 10:01:00")))
+    val deduped = StreamIngest.dedupStreamWithinWatermark(
+      readEvStream(dir, 1), "ts", "1 hour", "user_id")
+    val q = deduped.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val n = spark.sql("SELECT COUNT(DISTINCT user_id), COUNT(*) " +
+      "FROM wm_dedup").collect()(0)
+    assert(n.getLong(0) == 2 && n.getLong(1) == 2,
+      s"time-respun redelivery survived: $n")
+    // the plain key+time dedup CANNOT drop it — that contrast is the op
+    val strict = StreamIngest.dedupStream(
+      readEvStream(dir, 1), "ts", "1 hour", "user_id")
+    val q2 = strict.writeStream.format("memory").queryName("strict_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(spark.sql("SELECT COUNT(*) FROM strict_dedup")
+      .collect()(0).getLong(0) == 3)
+  }
+
+  test("idempotent batch sink: replayed batch ids are skipped, " +
+    "restart with the same checkpoint adds nothing") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-idem-out").toString
+    // unit level: same batchId twice → second write is a no-op even
+    // with different (corrupt-replay) content
+    assert(StreamIngest.writeBatchIdempotent(
+      Seq((1L, "a")).toDF("k", "v"), out, batchId = 7L))
+    assert(!StreamIngest.writeBatchIdempotent(
+      Seq((2L, "b"), (3L, "c")).toDF("k", "v"), out, batchId = 7L))
+    val kept = spark.read.parquet(s"$out/batch_id=7")
+    assert(kept.count() == 1 && kept.select("v").head.getString(0) == "a")
+
+    // end-to-end: stream → sink, then RERUN with the same checkpoint —
+    // no new batches, no new files, same rows
+    val dir = writeCsvFiles("graft-idem-src", Seq(
+      Seq("1,2026-01-01 10:00:00", "2,2026-01-01 10:01:00"),
+      Seq("3,2026-01-01 10:02:00")))
+    val ckpt = Files.createTempDirectory("graft-idem-ckpt").toString
+    val eOut = Files.createTempDirectory("graft-idem-eout").toString
+    def runOnce(): Unit = {
+      val q = StreamIngest.toIdempotentParquetSink(
+          readEvStream(dir, 1), eOut)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    val firstRows = spark.read.parquet(s"$eOut/batch_id=*").count()
+    assert(firstRows == 3, s"expected all 3 rows, got $firstRows")
+    val firstMarkers = new java.io.File(eOut).listFiles()
+      .count(_.getName.startsWith("_committed_"))
+    runOnce() // restart: the source has nothing new
+    assert(spark.read.parquet(s"$eOut/batch_id=*").count() == 3)
+    assert(new java.io.File(eOut).listFiles()
+      .count(_.getName.startsWith("_committed_")) == firstMarkers)
+  }
+
+  test("sessionizeWithState: closed sessions emit in-batch, open ones " +
+    "flush on event-time timeout, state is evicted") {
+    val dir = writeCsvFiles("graft-sess-state", Seq(
+      // batch 1: user 1 closes one session in-batch (gap 30 min
+      // exceeded by the 12:00 row) and leaves one open
+      Seq("1,2026-01-01 10:00:00", "1,2026-01-01 10:05:00",
+        "1,2026-01-01 12:00:00"),
+      // batch 2/3: user 2 pushes the watermark past user 1's timeout
+      Seq("2,2026-01-01 15:00:00"),
+      Seq("2,2026-01-01 15:05:00")))
+    val sess = StreamIngest.sessionizeWithState(spark,
+      readEvStream(dir, 1), "ts", delay = "10 minutes",
+      gapMs = 30L * 60 * 1000)
+    val q = sess.writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT * FROM state_sessions WHERE user_id = 1" +
+      " ORDER BY sess_start").collect()
+    assert(rows.length == 2, s"expected 2 closed sessions for user 1: " +
+      rows.mkString(", "))
+    assert(rows(0).getAs[Long]("n_events") == 2) // 10:00 + 10:05
+    assert(rows(1).getAs[Long]("n_events") == 1) // the timed-out 12:00
+    // user 2's session never times out (watermark stops at 14:55) —
+    // append mode must not leak the open session
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM state_sessions WHERE user_id = 2")
+      .collect()(0).getLong(0) == 0)
+  }
+
   test("stateful running flow with mapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-stream2")
     Fixtures.writeAll(dir)
