@@ -61,21 +61,27 @@ object CorpusOps extends QueryModule {
         edges.count()
         releaseDocs()
         pairs.unpersist()
-        var labels = edges.select(col("src").as("doc_id")).distinct()
+        var cached = edges.select(col("src").as("doc_id")).distinct()
           .withColumn("lab", col("doc_id")).cache()
+        var labels = cached
         var changed = 1L
         var rounds = 0
         while (changed > 0 && rounds < 64) {
+          // the aggregate carries the previous label alongside the new
+          // minimum (one non-null prev row per doc), so convergence
+          // needs no second join and the round runs ONE action: the
+          // count() that also materializes the cache
           val prop = edges
             .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-            .select(col("dst").as("doc_id"), col("lab"))
-          val next = labels.union(prop).groupBy("doc_id")
-            .agg(min("lab").as("lab")).cache()
-          changed = next
-            .join(labels.withColumnRenamed("lab", "prev"), Seq("doc_id"))
-            .filter(col("lab") =!= col("prev")).count()
-          labels.unpersist()
-          labels = next
+            .select(col("dst").as("doc_id"), col("lab"),
+              lit(null).cast("long").as("prev"))
+          val next = labels.withColumn("prev", col("lab")).union(prop)
+            .groupBy("doc_id")
+            .agg(min("lab").as("lab"), max("prev").as("prev")).cache()
+          changed = next.filter(col("lab") =!= col("prev")).count()
+          cached.unpersist()
+          cached = next
+          labels = next.select("doc_id", "lab")
           rounds += 1
         }
         require(changed == 0, s"label propagation not converged after $rounds rounds")
@@ -87,7 +93,7 @@ object CorpusOps extends QueryModule {
             (col("doc_id") === col("lab")).as("is_canonical"))
           .localCheckpoint(true) // materialize, then drop every cache
         edges.unpersist()
-        labels.unpersist()
+        cached.unpersist()
         out
       },
       Some(s"""WITH RECURSIVE

@@ -64,21 +64,27 @@ object GraphOps extends QueryModule {
   def connectedComponents(symEdges: DataFrame): DataFrame = {
     val edges = symEdges.cache()
     edges.count()
-    var labels = edges.select(col("src").as("node")).distinct()
+    var cached = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).cache()
+    var labels = cached
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
+      // one aggregate carries BOTH the new label and the previous one
+      // (each node contributes exactly one non-null prev row), so the
+      // convergence check needs no second join, and the round's single
+      // count() both materializes the cache and reads the change count
       val prop = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("lab"))
-      val next = labels.union(prop).groupBy("node")
-        .agg(min("lab").as("lab")).cache()
-      changed = next
-        .join(labels.withColumnRenamed("lab", "prev"), Seq("node"))
-        .filter(col("lab") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("dst").as("node"), col("lab"),
+          lit(null).cast("long").as("prev"))
+      val next = labels.withColumn("prev", col("lab")).union(prop)
+        .groupBy("node")
+        .agg(min("lab").as("lab"), max("prev").as("prev")).cache()
+      changed = next.filter(col("lab") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("node", "lab")
       rounds += 1
     }
     require(changed == 0, s"components not converged after $rounds rounds")
@@ -89,7 +95,7 @@ object GraphOps extends QueryModule {
         col("component_size"))
       .localCheckpoint(true)
     edges.unpersist()
-    labels.unpersist()
+    cached.unpersist()
     out
   }
 
