@@ -556,6 +556,52 @@ object Extensions extends QueryModule {
                      d.click_id AS asof_click_id,
                      d.click_value AS asof_click_value
               FROM purchases p ASOF LEFT JOIN dedup d
-                ON p.user_id = d.user_id AND p.ts >= d.ts"""))
+                ON p.user_id = d.user_id AND p.ts >= d.ts""")),
+
+    // ---- x26: CDC upsert (MERGE INTO semantics as a relational plan):
+    //      a change batch of updates + inserts merged into a snapshot
+    //      via full-outer join + change-wins COALESCE. At 100 TB this is
+    //      the incremental-maintenance primitive the reference's daily
+    //      full rebuild lacks: the snapshot side shuffles once on the
+    //      merge key (or not at all if both sides are bucketed on it —
+    //      sources/Bucketing), and the change batch is the small side.
+    //      Delete handling is the same plan with a tombstone filter
+    //      after the coalesce.
+    Q("x26_upsert",
+      (s, d) => {
+        val snap = customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal")
+        val updates = snap.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("u_key"),
+            col("c_name").as("u_name"),
+            (col("c_acctbal") + 100.0).as("u_bal"))
+        val inserts = s.range(5).select(
+          (col("id") + 9000000L).as("u_key"),
+          concat(lit("Customer#new_"), col("id")).as("u_name"),
+          lit(0.0).as("u_bal"))
+        val changes = updates.unionByName(inserts)
+        snap.join(changes, col("c_custkey") === col("u_key"),
+            "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("u_key")).as("merged_key"),
+            coalesce(col("u_name"), col("c_name")).as("merged_name"),
+            coalesce(col("u_bal"), col("c_acctbal")).as("merged_bal"))
+      },
+      Some("""WITH updates AS (
+                SELECT c_custkey AS u_key, c_name AS u_name,
+                  c_acctbal + 100.0 AS u_bal
+                FROM customer WHERE c_custkey % 10 = 0),
+              inserts AS (
+                SELECT 9000000 + i AS u_key,
+                  'Customer#new_' || i AS u_name,
+                  CAST(0.0 AS DOUBLE) AS u_bal
+                FROM range(5) t(i)),
+              changes AS (SELECT * FROM updates
+                          UNION ALL SELECT * FROM inserts)
+              SELECT COALESCE(c_custkey, u_key) AS merged_key,
+                COALESCE(u_name, c_name) AS merged_name,
+                COALESCE(u_bal, c_acctbal) AS merged_bal
+              FROM customer FULL OUTER JOIN changes
+                ON c_custkey = u_key"""))
   )
 }
