@@ -84,7 +84,8 @@ object Bench {
       "q3_shipping_priority", "q5_local_supplier", "j2_composite_key",
       "a1_sum_group", "w1_running_balance", "x13_sessionize",
       "x12_range_join", "dedup_exact", "minhash_lsh_pairs",
-      "ann_cosine_topk", "heavy_hitters_tokens", "pipeline_clean_docs")
+      "ann_cosine_topk", "heavy_hitters_tokens", "pipeline_clean_docs",
+      "q8_market_share", "graph_pagerank", "graph_cc_components")
     val shortJson = renderJson(results, sfDir, Some(headline))
     val fullJson = renderJson(results, sfDir, None)
     println(shortJson)
