@@ -258,6 +258,62 @@ class StreamIngestSpec extends SparkSpec {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("sessionizeWithState ≡ batch session_window on real events: " +
+    "closed sessions match exactly (all but each user's open last)") {
+    import org.apache.spark.sql.functions._
+    val gapMs = 30L * 60 * 1000
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"))
+    // ship the fixture through the SAME csv streaming source the other
+    // tests use (one file → one batch → every closed session emits
+    // in-batch; only each user's final session stays open/unemitted)
+    val dir = Files.createTempDirectory("graft-sess-parity")
+    val rows = ev.orderBy("ts", "user_id").collect().map(r =>
+      s"${r.getLong(0)},${r.getTimestamp(1)}")
+    Files.writeString(dir.resolve("events.csv"),
+      ("user_id,ts" +: rows).mkString("\n") + "\n")
+    val stream = spark.readStream.schema(evSchema)
+      .option("header", "true").csv(dir.toString)
+    val sess = StreamIngest.sessionizeWithState(spark, stream, "ts",
+      delay = "1 minute", gapMs = gapMs)
+    val q = sess.writeStream.format("memory").queryName("parity_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT user_id, sess_start, n_events " +
+      "FROM parity_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .toSet
+    // batch truth: built-in session_window with the same gap. A user's
+    // non-last sessions close in-batch; the LAST session also emits iff
+    // the run's FINAL watermark (AvailableNow runs a no-data batch with
+    // watermark = max event time - delay) proves its gap expired.
+    val batch = ev
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        (col("w.end").cast("long") * 1000 - gapMs)
+          .as("last_event_ms"), // session_window end = last event + gap
+        col("n_events"))
+    val lastStart = batch.groupBy("user_id")
+      .agg(max("sess_start").as("last_start"))
+    val finalWatermarkMs = ev.agg(max(col("ts")).cast("long") * 1000)
+      .head.getLong(0) - 60 * 1000
+    val closed = batch.join(lastStart, Seq("user_id"))
+      .filter(col("sess_start") < col("last_start") ||
+        col("last_event_ms") + gapMs < finalWatermarkMs)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(3)))
+      .toSet
+    assert(streamed.nonEmpty, "no closed sessions emitted")
+    assert(streamed == closed,
+      s"streaming/batch mismatch: only-streaming=${
+        (streamed -- closed).take(3)} only-batch=${
+        (closed -- streamed).take(3)}")
+  }
+
   test("stateful running flow with mapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-stream2")
     Fixtures.writeAll(dir)
