@@ -250,4 +250,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
+
+  test("graph_pagerank/taint: one lazy plan per query — the one-row " +
+    "scalars broadcast, every per-iteration aggregate is two-phase") {
+    for (n <- Seq("graph_pagerank", "graph_taint_haircut")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$n: node-count/ratio side not broadcast")
+      assert(p.contains("partial_sum"), s"$n: aggregate not two-phase")
+      // the unrolled iterations must NOT materialize anything eagerly
+      assert(!p.contains("LogicalRDD"), s"$n not one lazy plan")
+    }
+  }
+
+  test("graph_triangles: the wedge join closes with a semi-join (each " +
+    "wedge tested once, never widened)") {
+    val p = plan("graph_triangles")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("q9/q10: dims ride as broadcasts; only fact-fact joins shuffle") {
+    for (n <- Seq("q9_product_profit", "q10_returned_items")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n dims not broadcast")
+      assert(!p.toLowerCase.contains("broadcastnestedloopjoin"),
+        s"$n degraded to nested-loop")
+    }
+  }
+
+  test("x26: the upsert merge plans as one full-outer join on the " +
+    "merge key") {
+    val p = plan("x26_upsert")
+    assert(p.contains("FullOuter"), p.take(1500))
+  }
 }
