@@ -34,6 +34,35 @@ class GraphOpsSpec extends SparkSpec {
       "graph_cc_components left a cached plan pinned")
   }
 
+  test("connectedComponents ≡ driver-side union-find on the dense " +
+    "trace graph (not just the by-construction block fixture)") {
+    val e = TraceOps.edgeSet(spark, sf)
+    val sym = e.union(e.select(col("dst"), col("src"))).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(sym)
+      .select("node", "component_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: plain union-find with min-root normalization
+    val edges = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    // normalize both sides to min-member labels per component
+    def canon(m: Map[Long, Long]): Map[Long, Long] = {
+      val minOf = m.groupBy(_._2).map { case (c, ms) =>
+        c -> ms.keys.min }
+      m.map { case (n, c) => n -> minOf(c) }
+    }
+    assert(canon(got) == canon(want),
+      "spark components disagree with union-find")
+  }
+
   test("graph_pagerank: probability mass stays in (0, 1] and every " +
     "node gets the floor share") {
     val pr = graft.SparkEntry.queries("graph_pagerank")(spark, sf)
