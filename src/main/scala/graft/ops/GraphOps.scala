@@ -99,6 +99,92 @@ object GraphOps extends QueryModule {
     out
   }
 
+  /** O(log n)-round connected components — alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round hangs every node's neighbors onto
+    * the minimum of its closed neighborhood, so component trees flatten
+    * geometrically and the round count is O(log n) INDEPENDENT of
+    * component diameter — the scale path the min-label loop's Scaladoc
+    * promises for adversarial diameters (a 100 TB transfer graph's
+    * longest chain easily exceeds any affordable min-label round
+    * count). Each round is two shuffles over the (shrinking) edge list.
+    * Output is identical to [[connectedComponents]]: min-member labels.
+    */
+  def ccLogStar(edges: DataFrame): DataFrame = {
+    // canonical undirected pair set, no self loops
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    // the paper's two phases, verbatim (Algorithms 1-2). large-star:
+    // over the FULL neighborhood, hang every strictly-larger neighbor
+    // on min(Γ⁺(u)). small-star: over only the ≤ neighbors, hang
+    // N ∪ {u} itself on min(N ∪ {u}) — emitting for u too is what
+    // keeps each node linked to its parent (dropping it collapses the
+    // edge set to nothing and every node becomes a singleton).
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.union(e.select(col("dst"), col("src")))
+        .toDF("src", "dst")
+      val m = both.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), least(col("mn"), col("u")).as("m"))
+      both.join(m, col("src") === col("u"))
+        .where(col("dst") > col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val smaller = e.union(e.select(col("dst"), col("src")))
+        .toDF("src", "dst")
+        .where(col("dst") <= col("src"))
+      val m = smaller.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), least(col("mn"), col("u")).as("m"))
+      smaller.join(m, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("u").as("src"), col("m").as("dst")))
+    }
+    // node universe from the RAW endpoints: a node whose only edge is a
+    // self loop still owns a (singleton) component even though canon()
+    // strips the loop from the pair set
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    // localCheckpoint (not cache) each round: each star phase
+    // references its input FOUR times, so an uncut lineage grows as
+    // 4^rounds and OOMs plan construction long before data does
+    var cur = canon(edges).localCheckpoint(true)
+    var prevCount = -1L
+    var prevSum = BigDecimal(-1)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 64) {
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      // converged iff the canonical pair set is unchanged: edge count +
+      // key checksum together identify the set (collision odds ~2^-64
+      // per round, and a collision only delays convergence one round).
+      // The checksum sums 64-bit hashes in DECIMAL — a long sum would
+      // overflow under ANSI mode.
+      val r = next.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
+      val c = r.getLong(0)
+      val s = if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1))
+      done = c == prevCount && s == prevSum
+      prevCount = c; prevSum = s
+      cur = next
+      rounds += 1
+    }
+    require(done, s"log-star components not converged after $rounds rounds")
+    // at the fixed point every edge is (child, root): label = min
+    // neighbor (the root), roots and isolated nodes label themselves
+    val sym = cur.union(cur.select(col("dst"), col("src")))
+      .toDF("node", "nbr")
+    val labels = nodes.join(sym, Seq("node"), "left")
+      .groupBy("node")
+      .agg(least(min("nbr"), first("node")).as("component_id"))
+    val sizes = labels.groupBy("component_id")
+      .agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("component_id"))
+      .select(col("node"), col("component_id"), col("component_size"))
+      .localCheckpoint(true)
+  }
+
   /** Simplified PageRank (no dangling-mass redistribution — dropped
     * mass is identical on both engines, so the oracle still matches),
     * damping 0.85, `iters` fixed iterations unrolled into ONE lazy
@@ -219,6 +305,35 @@ object GraphOps extends QueryModule {
         val e = blockRingEdges(s, d)
         connectedComponents(
           e.union(e.select(col("dst"), col("src"))).toDF("src", "dst"))
+      },
+      Some("""WITH RECURSIVE
+              base AS (
+                SELECT DISTINCT (user_id % 200) * 5 + event_id % 5 AS src,
+                  (user_id % 200) * 5 + (event_id + 1) % 5 AS dst
+                FROM events),
+              edges AS (SELECT src, dst FROM base
+                        UNION SELECT dst, src FROM base),
+              reach(node, lab) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lab
+                FROM reach r JOIN edges e ON e.src = r.node),
+              lab AS (SELECT node, MIN(lab) AS component_id
+                      FROM reach GROUP BY 1)
+              SELECT node, component_id,
+                CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+                  AS component_size
+              FROM lab"""),
+      eager = true),
+
+    // ---- The same clustering through the O(log n) star algorithm —
+    //      identical output, diameter-independent round count; the twin
+    //      is held to the SAME recursive-CTE oracle.
+    Q("graph_cc_logstar",
+      (s, d) => {
+        val e = blockRingEdges(s, d)
+        ccLogStar(e.union(e.select(col("dst"), col("src")))
+          .toDF("src", "dst"))
       },
       Some("""WITH RECURSIVE
               base AS (

@@ -58,8 +58,9 @@ class SparkEntrySpec extends AnyFunSuite {
   test("eager queries stay the rare, documented exception") {
     val eager = modules.flatMap(_.all).filter(_.eager).map(_.name)
     // each entry here carries an executing schema spec: CorpusOpsSpec
-    // for dup_clusters, GraphOpsSpec for graph_cc_components
-    assert(eager.sorted == Seq("dup_clusters", "graph_cc_components"),
+    // for dup_clusters, GraphOpsSpec for the two component variants
+    assert(eager.sorted ==
+      Seq("dup_clusters", "graph_cc_components", "graph_cc_logstar"),
       s"new eager query needs its own executing schema spec: $eager")
   }
 }

@@ -63,6 +63,51 @@ class GraphOpsSpec extends SparkSpec {
       "spark components disagree with union-find")
   }
 
+  test("ccLogStar ≡ connectedComponents on the block fixture, the " +
+    "dense trace graph, and random graphs vs union-find") {
+    import org.apache.spark.sql.DataFrame
+    def labelsOf(df: DataFrame): Map[Long, Long] =
+      df.select("node", "component_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both fixtures
+    val block = GraphOps.blockRingEdges(spark, sf)
+    val blockSym = block.union(block.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+    assert(labelsOf(GraphOps.ccLogStar(blockSym)) ==
+      labelsOf(GraphOps.connectedComponents(blockSym)))
+    val dense = TraceOps.edgeSet(spark, sf)
+    val denseSym = dense.union(dense.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+    assert(labelsOf(GraphOps.ccLogStar(denseSym)) ==
+      labelsOf(GraphOps.connectedComponents(denseSym)))
+    // random sparse graphs (the shapes where log-star's flattening
+    // actually differs from diameter-bound propagation): vs union-find
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60)(
+        (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      val df = edges.toDF("src", "dst")
+      val sym = df.union(df.select(col("dst"), col("src")))
+        .toDF("src", "dst")
+      val got = labelsOf(GraphOps.ccLogStar(sym))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val minOf = want.groupBy(_._2).map { case (c, ms) => c -> ms.keys.min }
+      assert(got == want.map { case (n, c) => n -> minOf(c) },
+        "log-star disagrees with union-find on a random graph")
+    }
+  }
+
   test("graph_pagerank: probability mass stays in (0, 1] and every " +
     "node gets the floor share") {
     val pr = graft.SparkEntry.queries("graph_pagerank")(spark, sf)
