@@ -66,37 +66,43 @@ object GraphOps extends QueryModule {
     edges.count()
     var cached = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).cache()
-    var labels = cached
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 64) {
-      // one aggregate carries BOTH the new label and the previous one
-      // (each node contributes exactly one non-null prev row), so the
-      // convergence check needs no second join, and the round's single
-      // count() both materializes the cache and reads the change count
-      val prop = edges
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("lab"),
-          lit(null).cast("long").as("prev"))
-      val next = labels.withColumn("prev", col("lab")).union(prop)
-        .groupBy("node")
-        .agg(min("lab").as("lab"), max("prev").as("prev")).cache()
-      changed = next.filter(col("lab") =!= col("prev")).count()
+    // finally-scoped release: a non-convergence require (or any mid-
+    // loop failure) must not leave the edge list and label snapshot
+    // pinned in a long-lived session
+    try {
+      var labels = cached
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 64) {
+        // one aggregate carries BOTH the new label and the previous one
+        // (each node contributes exactly one non-null prev row), so the
+        // convergence check needs no second join, and the round's
+        // single count() both materializes the cache and reads the
+        // change count
+        val prop = edges
+          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), col("lab"),
+            lit(null).cast("long").as("prev"))
+        val next = labels.withColumn("prev", col("lab")).union(prop)
+          .groupBy("node")
+          .agg(min("lab").as("lab"), max("prev").as("prev")).cache()
+        changed = next.filter(col("lab") =!= col("prev")).count()
+        cached.unpersist()
+        cached = next
+        labels = next.select("node", "lab")
+        rounds += 1
+      }
+      require(changed == 0, s"components not converged after $rounds rounds")
+      val sizes = labels.groupBy("lab")
+        .agg(count(lit(1)).as("component_size"))
+      labels.join(sizes, Seq("lab"))
+        .select(col("node"), col("lab").as("component_id"),
+          col("component_size"))
+        .localCheckpoint(true) // materialized before finally releases
+    } finally {
+      edges.unpersist()
       cached.unpersist()
-      cached = next
-      labels = next.select("node", "lab")
-      rounds += 1
     }
-    require(changed == 0, s"components not converged after $rounds rounds")
-    val sizes = labels.groupBy("lab")
-      .agg(count(lit(1)).as("component_size"))
-    val out = labels.join(sizes, Seq("lab"))
-      .select(col("node"), col("lab").as("component_id"),
-        col("component_size"))
-      .localCheckpoint(true)
-    edges.unpersist()
-    cached.unpersist()
-    out
   }
 
   /** O(log n)-round connected components — alternating large-star /
@@ -148,41 +154,52 @@ object GraphOps extends QueryModule {
       .union(edges.select(col("dst").as("node"))).distinct()
     // localCheckpoint (not cache) each round: each star phase
     // references its input FOUR times, so an uncut lineage grows as
-    // 4^rounds and OOMs plan construction long before data does
-    var cur = canon(edges).localCheckpoint(true)
-    var prevCount = -1L
-    var prevSum = BigDecimal(-1)
-    var rounds = 0
-    var done = false
-    while (!done && rounds < 64) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
-      // converged iff the canonical pair set is unchanged: edge count +
-      // key checksum together identify the set (collision odds ~2^-64
-      // per round, and a collision only delays convergence one round).
-      // The checksum sums 64-bit hashes in DECIMAL — a long sum would
-      // overflow under ANSI mode.
-      val r = next.agg(count(lit(1)),
-        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
-      val c = r.getLong(0)
-      val s = if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1))
-      done = c == prevCount && s == prevSum
-      prevCount = c; prevSum = s
-      cur = next
-      rounds += 1
+    // 4^rounds and OOMs plan construction long before data does. The
+    // checkpoint blocks are NOT registered with the cacheManager, so
+    // each round tracks the persistent-RDD ids it created and releases
+    // the previous round's explicitly — at scale, waiting for the GC +
+    // ContextCleaner to notice dropped snapshots lets full-edge-set
+    // blocks pile up across tens of rounds.
+    val sc = edges.sparkSession.sparkContext
+    def ckptTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
-    require(done, s"log-star components not converged after $rounds rounds")
-    // at the fixed point every edge is (child, root): label = min
-    // neighbor (the root), roots and isolated nodes label themselves
-    val sym = cur.union(cur.select(col("dst"), col("src")))
-      .toDF("node", "nbr")
-    val labels = nodes.join(sym, Seq("node"), "left")
-      .groupBy("node")
-      .agg(least(min("nbr"), first("node")).as("component_id"))
-    val sizes = labels.groupBy("component_id")
-      .agg(count(lit(1)).as("component_size"))
-    labels.join(sizes, Seq("component_id"))
-      .select(col("node"), col("component_id"), col("component_size"))
-      .localCheckpoint(true)
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (cur, curIds) = ckptTracked(canon(edges))
+    try {
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 64) {
+        val (next, nextIds) =
+          ckptTracked(canon(smallStar(largeStar(cur))))
+        // exact convergence in ONE action, no hash collisions: both
+        // sets are distinct, so every pair in (cur ∪ next) appears
+        // exactly twice iff the sets are equal
+        done = cur.unionByName(next).groupBy("src", "dst").count()
+          .filter(col("count") =!= 2).isEmpty
+        release(curIds)
+        cur = next; curIds = nextIds
+        rounds += 1
+      }
+      require(done, s"log-star components not converged after $rounds rounds")
+      // at the fixed point every edge is (child, root): label = min
+      // neighbor (the root), roots and isolated nodes label themselves
+      val sym = cur.union(cur.select(col("dst"), col("src")))
+        .toDF("node", "nbr")
+      val labels = nodes.join(sym, Seq("node"), "left")
+        .groupBy("node")
+        .agg(least(min("nbr"), first("node")).as("component_id"))
+      val sizes = labels.groupBy("component_id")
+        .agg(count(lit(1)).as("component_size"))
+      labels.join(sizes, Seq("component_id"))
+        .select(col("node"), col("component_id"), col("component_size"))
+        .localCheckpoint(true) // materialized before finally releases
+    } finally {
+      release(curIds)
+    }
   }
 
   /** Simplified PageRank (no dangling-mass redistribution — dropped

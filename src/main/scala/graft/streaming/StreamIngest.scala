@@ -23,17 +23,26 @@ import org.apache.spark.sql.Row
   */
 object StreamIngest {
 
-  /** Streaming S1: same format contract as the batch reader. */
+  /** Streaming S1: same format contract as the batch reader
+    * (ingest/Tsv.read) INCLUDING the corrupt-row contract — malformed
+    * rows land in `_corrupt_record` instead of silently becoming
+    * all-null rows that drain into watermarked aggregates. */
   def readTsvStream(spark: SparkSession, dir: String, schema: StructType,
-      maxFilesPerTrigger: Int = 1): DataFrame =
+      maxFilesPerTrigger: Int = 1, permissive: Boolean = true): DataFrame = {
+    val withCorrupt = if (permissive)
+      schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    else schema
     spark.readStream
       .option("sep", "\t")
       .option("header", "true")
       .option("quote", "")
+      .option("mode", if (permissive) "PERMISSIVE" else "FAILFAST")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .schema(schema)
+      .schema(withCorrupt)
       .csv(dir)
+  }
 
   /** Per-block-window transaction metrics with a 1-day watermark
     * (tumbling hourly windows over tx_time). Any staging transform
@@ -74,15 +83,17 @@ object StreamIngest {
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicates(keys :+ eventTimeCol)
 
-  /** Session windows (30-min gap) over a streaming frame — the built-in
-    * session_window aggregate; state is bounded by the watermark. */
-  def sessionWindows(df: DataFrame, eventTimeCol: String,
-      gap: String): DataFrame =
-    df.withWatermark(eventTimeCol, "1 day")
-      .groupBy(col("user_id"),
+  /** Session windows over a streaming frame — the built-in
+    * session_window aggregate; state is bounded by the watermark delay
+    * (a parameter like every other stateful helper here — a hardcoded
+    * delay silently sets the state-retention budget). */
+  def sessionWindows(df: DataFrame, eventTimeCol: String, gap: String,
+      delay: String = "1 day", keyCol: String = "user_id"): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(col(keyCol),
         session_window(col(eventTimeCol), gap).as("sess"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("sess.start").as("sess_start"),
+      .select(col(keyCol), col("sess.start").as("sess_start"),
         col("sess.end").as("sess_end"), col("n_events"))
 
   /** Stream-static enrich: per-micro-batch dimension lookup. The static
@@ -160,14 +171,34 @@ object StreamIngest {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Gap-merge new event times into an existing (disjoint, sorted)
+    * session list. STRICT boundary (start < end + gap merges) to match
+    * session_window's half-open [t, t+gap) window semantics. */
+  private[streaming] def mergeSessions(existing: Seq[(Long, Long, Long)],
+      times: Seq[Long], gapMs: Long): Seq[(Long, Long, Long)] = {
+    val all = (existing ++ times.map(t => (t, t, 1L)))
+      .sortBy(x => (x._1, x._2))
+    all.foldLeft(Vector.empty[(Long, Long, Long)]) { (acc, nxt) =>
+      acc.lastOption match {
+        case Some((s, e, n)) if nxt._1 < e + gapMs =>
+          acc.init :+ ((s, math.max(e, nxt._2), n + nxt._3))
+        case _ => acc :+ nxt
+      }
+    }
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState with
     * EventTimeTimeout — the explicit-eviction counterpart of
-    * [[sessionWindows]]: the ONLY state per key is its open session
-    * (closed sessions emit immediately, in-batch), and the event-time
-    * timeout flushes an open session once the watermark proves no late
-    * row can extend it. Contrast [[runningAddressFlow]]'s NoTimeout:
-    * fine for a bounded key domain, an unbounded store otherwise —
-    * timeouts ARE the scale contract for custom state. */
+    * [[sessionWindows]], with the SAME append semantics: state holds
+    * ALL of a key's in-flight sessions, a session emits ONLY once the
+    * watermark proves no admissible late row can extend it
+    * (end + gap <= watermark; rows below the watermark are dropped
+    * upstream), and emitted sessions leave the store. Late rows within
+    * the delay merge into — or bridge — existing in-flight sessions
+    * exactly as the batch operator would. Contrast
+    * [[runningAddressFlow]]'s NoTimeout: fine for a bounded key
+    * domain, an unbounded store otherwise — timeouts ARE the scale
+    * contract for custom state. */
   def sessionizeWithState(spark: SparkSession, events: DataFrame,
       eventTimeCol: String, delay: String, gapMs: Long): DataFrame = {
     import spark.implicits._
@@ -180,39 +211,25 @@ object StreamIngest {
       .withWatermark(eventTimeCol, delay)
       .as[(Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long),
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)],
           (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (userId, rows, state: GroupState[(Long, Long, Long)]) =>
-          if (state.hasTimedOut) {
-            val (s0, e0, n0) = state.get
-            state.remove()
-            Iterator((userId, new java.sql.Timestamp(s0),
-              new java.sql.Timestamp(e0), n0))
-          } else {
-            val times = rows.map(_._2.getTime).toVector.sorted
-            var closed = Vector.empty[(Long, Long, Long)]
-            var cur = state.getOption
-            for (t <- times) cur match {
-              case Some((s0, e0, n0)) if t - e0 <= gapMs =>
-                cur = Some((s0, math.max(e0, t), n0 + 1))
-              case Some(sess) =>
-                closed :+= sess
-                cur = Some((t, t, 1L))
-              case None =>
-                cur = Some((t, t, 1L))
-            }
-            cur.foreach { c =>
-              state.update(c)
-              // never set a timeout at/below the watermark (illegal);
-              // the +1 keeps a just-expired session flushable next batch
-              state.setTimeoutTimestamp(math.max(c._2 + gapMs,
-                state.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator.map { case (s0, e0, n0) =>
-              (userId, new java.sql.Timestamp(s0),
-                new java.sql.Timestamp(e0), n0)
-            }
+        case (userId, rows, state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val merged = mergeSessions(state.getOption.getOrElse(Nil),
+            rows.map(_._2.getTime).toVector, gapMs)
+          val (closed, open) = merged.partition(_._2 + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake when the earliest open session becomes provably
+            // closed; never at/below the current watermark (illegal)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_._2).min + gapMs, wm + 1))
+          }
+          closed.iterator.map { case (s0, e0, n0) =>
+            (userId, new java.sql.Timestamp(s0),
+              new java.sql.Timestamp(e0), n0)
           }
       }.toDF("user_id", "sess_start", "sess_end", "n_events")
   }

@@ -108,6 +108,25 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("graph_cc_logstar (eager, registered): schema pinned, rows " +
+    "identical to graph_cc_components, intermediates released") {
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val ls = graft.SparkEntry.queries("graph_cc_logstar")(spark, sf)
+    assert(ls.columns.toSeq ==
+      Seq("node", "component_id", "component_size"))
+    val ml = graft.SparkEntry.queries("graph_cc_components")(spark, sf)
+    assert(ls.collect().map(_.toSeq).toSet ==
+      ml.collect().map(_.toSeq).toSet,
+      "log-star and min-label registered queries disagree")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graph_cc_logstar left a cached plan pinned")
+    // per-round checkpoints were released: only the two results' own
+    // checkpoint blocks may remain beyond what existed before
+    val rddsAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(rddsAfter <= rddsBefore + 2,
+      s"round snapshots leaked: $rddsBefore -> $rddsAfter persistent RDDs")
+  }
+
   test("graph_pagerank: probability mass stays in (0, 1] and every " +
     "node gets the floor share") {
     val pr = graft.SparkEntry.queries("graph_pagerank")(spark, sf)

@@ -285,10 +285,10 @@ class StreamIngestSpec extends SparkSpec {
       "FROM parity_sessions").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
       .toSet
-    // batch truth: built-in session_window with the same gap. A user's
-    // non-last sessions close in-batch; the LAST session also emits iff
-    // the run's FINAL watermark (AvailableNow runs a no-data batch with
-    // watermark = max event time - delay) proves its gap expired.
+    // batch truth: built-in session_window with the same gap. The
+    // streaming side emits EXACTLY the sessions the final watermark
+    // (AvailableNow runs a no-data batch with watermark = max event
+    // time - delay) proves closed: last event + gap <= watermark.
     val batch = ev
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("w"))
@@ -297,13 +297,10 @@ class StreamIngestSpec extends SparkSpec {
         (col("w.end").cast("long") * 1000 - gapMs)
           .as("last_event_ms"), // session_window end = last event + gap
         col("n_events"))
-    val lastStart = batch.groupBy("user_id")
-      .agg(max("sess_start").as("last_start"))
     val finalWatermarkMs = ev.agg(max(col("ts")).cast("long") * 1000)
       .head.getLong(0) - 60 * 1000
-    val closed = batch.join(lastStart, Seq("user_id"))
-      .filter(col("sess_start") < col("last_start") ||
-        col("last_event_ms") + gapMs < finalWatermarkMs)
+    val closed = batch
+      .filter(col("last_event_ms") + gapMs <= finalWatermarkMs)
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(3)))
       .toSet
@@ -312,6 +309,53 @@ class StreamIngestSpec extends SparkSpec {
       s"streaming/batch mismatch: only-streaming=${
         (streamed -- closed).take(3)} only-batch=${
         (closed -- streamed).take(3)}")
+  }
+
+  test("mergeSessions: late points extend backwards and BRIDGE " +
+    "adjacent sessions; exact-gap boundary stays separate") {
+    val gap = 30L * 60 * 1000
+    def m(h: Int, min: Int) = (h * 60L + min) * 60 * 1000
+    // bridge: a 10:31 point melds (10:00-10:10) and (11:00-11:10)
+    // (10:30 would NOT — 10:30+gap lands exactly on 11:00, and the
+    // half-open window excludes it, as the boundary case below pins)
+    val bridged = StreamIngest.mergeSessions(
+      Seq((m(10, 0), m(10, 10), 2L), (m(11, 0), m(11, 10), 2L)),
+      Seq(m(10, 31)), gap)
+    assert(bridged == Seq((m(10, 0), m(11, 10), 5L)), bridged)
+    // strict boundary: exactly gap apart does NOT merge (session_window
+    // windows are half-open [t, t+gap))
+    val apart = StreamIngest.mergeSessions(Nil,
+      Seq(m(10, 0), m(10, 30)), gap)
+    assert(apart.size == 2, apart)
+    // late point EARLIER than every session, beyond gap: own session
+    val early = StreamIngest.mergeSessions(
+      Seq((m(12, 0), m(12, 0), 1L)), Seq(m(9, 0)), gap)
+    assert(early == Seq((m(9, 0), m(9, 0), 1L), (m(12, 0), m(12, 0), 1L)))
+  }
+
+  test("sessionizeWithState: a late cross-batch event merges into the " +
+    "EARLIER session it belongs to, not the open one") {
+    val dir = writeCsvFiles("graft-sess-late", Seq(
+      // batch 1: two far-apart sessions, both in-flight (delay 1 day)
+      Seq("1,2026-01-01 10:00:00", "1,2026-01-01 12:00:00"),
+      // batch 2: 10:20 is LATE (earlier than the 12:00 session) and
+      // belongs to the 10:00 session
+      Seq("1,2026-01-01 10:20:00"),
+      // batch 3: push the watermark past both sessions' gaps
+      Seq("2,2026-01-02 14:00:00")))
+    val sess = StreamIngest.sessionizeWithState(spark,
+      readEvStream(dir, 1), "ts", delay = "1 day",
+      gapMs = 30L * 60 * 1000)
+    val q = sess.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT sess_start, n_events FROM late_sessions" +
+      " WHERE user_id = 1 ORDER BY sess_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    assert(rows == Seq(("2026-01-01 10:00:00.0", 2L),
+      ("2026-01-01 12:00:00.0", 1L)), rows)
   }
 
   test("stateful running flow with mapGroupsWithState") {
