@@ -86,6 +86,12 @@ object Bench {
       "x12_range_join", "dedup_exact", "minhash_lsh_pairs",
       "ann_cosine_topk", "heavy_hitters_tokens", "pipeline_clean_docs",
       "q8_market_share", "graph_pagerank", "graph_cc_components")
+    // the list is a hardcoded copy of registry names — a rename must
+    // fail loudly here, not silently vanish from the driver's stdout
+    // metric line (renderJson drops unknown names by design)
+    require(headline.forall(results.contains),
+      s"headline names missing from registry: ${
+        headline.filterNot(results.contains).mkString(", ")}")
     val shortJson = renderJson(results, sfDir, Some(headline))
     val fullJson = renderJson(results, sfDir, None)
     println(shortJson)

@@ -58,43 +58,55 @@ object CorpusOps extends QueryModule {
         val edges = pairs
           .union(pairs.select(col("doc_b"), col("doc_a")))
           .toDF("src", "dst").cache()
-        edges.count()
-        releaseDocs()
-        pairs.unpersist()
         var cached = edges.select(col("src").as("doc_id")).distinct()
           .withColumn("lab", col("doc_id")).cache()
-        var labels = cached
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 64) {
-          // the aggregate carries the previous label alongside the new
-          // minimum (one non-null prev row per doc), so convergence
-          // needs no second join and the round runs ONE action: the
-          // count() that also materializes the cache
-          val prop = edges
-            .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-            .select(col("dst").as("doc_id"), col("lab"),
-              lit(null).cast("long").as("prev"))
-          val next = labels.withColumn("prev", col("lab")).union(prop)
-            .groupBy("doc_id")
-            .agg(min("lab").as("lab"), max("prev").as("prev")).cache()
-          changed = next.filter(col("lab") =!= col("prev")).count()
+        // finally-scoped release (all unpersists are idempotent): a
+        // failure anywhere — the first count, a loop round, the
+        // non-convergence require — must not leave the corpus-sized
+        // docs cache or the pair graph pinned in a long-lived session
+        try {
+          edges.count()
+          // corpus-sized caches released BEFORE the loop (the finally
+          // below is only the failure backstop): iterations must touch
+          // nothing but the edge list
+          releaseDocs()
+          pairs.unpersist()
+          var labels = cached
+          var changed = 1L
+          var rounds = 0
+          while (changed > 0 && rounds < 64) {
+            // the aggregate carries the previous label alongside the
+            // new minimum (one non-null prev row per doc), so
+            // convergence needs no second join and the round runs ONE
+            // action: the count() that also materializes the cache
+            val prop = edges
+              .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+              .select(col("dst").as("doc_id"), col("lab"),
+                lit(null).cast("long").as("prev"))
+            val next = labels.withColumn("prev", col("lab")).union(prop)
+              .groupBy("doc_id")
+              .agg(min("lab").as("lab"), max("prev").as("prev")).cache()
+            changed = next.filter(col("lab") =!= col("prev")).count()
+            cached.unpersist()
+            cached = next
+            labels = next.select("doc_id", "lab")
+            rounds += 1
+          }
+          require(changed == 0,
+            s"label propagation not converged after $rounds rounds")
+          val sizes = labels.groupBy("lab")
+            .agg(count(lit(1)).as("cluster_size"))
+          labels.join(sizes, Seq("lab"))
+            .select(col("doc_id"), col("lab").as("cluster_id"),
+              col("cluster_size"),
+              (col("doc_id") === col("lab")).as("is_canonical"))
+            .localCheckpoint(true) // materialized before finally runs
+        } finally {
+          releaseDocs()
+          pairs.unpersist()
+          edges.unpersist()
           cached.unpersist()
-          cached = next
-          labels = next.select("doc_id", "lab")
-          rounds += 1
         }
-        require(changed == 0, s"label propagation not converged after $rounds rounds")
-        val sizes = labels.groupBy("lab")
-          .agg(count(lit(1)).as("cluster_size"))
-        val out = labels.join(sizes, Seq("lab"))
-          .select(col("doc_id"), col("lab").as("cluster_id"),
-            col("cluster_size"),
-            (col("doc_id") === col("lab")).as("is_canonical"))
-          .localCheckpoint(true) // materialize, then drop every cache
-        edges.unpersist()
-        cached.unpersist()
-        out
       },
       Some(s"""WITH RECURSIVE
             pairs AS (SELECT doc_a, doc_b

@@ -251,7 +251,11 @@ object Extensions extends QueryModule {
     //      contract, so the deterministic form sorts the collected array
     //      before joining — same discipline the oracle applies.
     Q("x19_sorted_collect",
+      // explicit null guard on BOTH sides: Spark's collect_list drops
+      // NULLs while DuckDB's list() keeps them — without the shared
+      // filter a null event_type would diverge the engines
       (s, d) => events(s, d)
+        .filter(col("event_type").isNotNull)
         .groupBy(col("user_id"))
         .agg(array_join(sort_array(collect_list(col("event_type"))), ",")
           .as("types_csv"),
@@ -260,7 +264,8 @@ object Extensions extends QueryModule {
               array_to_string(list_sort(list(event_type)), ',')
                 AS types_csv,
               COUNT(*) AS n
-              FROM events GROUP BY user_id""")),
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY user_id""")),
 
     // ---- Semi join: customers WITH orders in a window (EXISTS shape —
     //      no fan-out, build side broadcastable when small).
@@ -344,7 +349,8 @@ object Extensions extends QueryModule {
               lower(c_mktsegment) AS lower_seg,
               substring(c_name, 1, 8) AS name_prefix,
               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
-              regexp_replace(c_name, 'Customer', 'Cust') AS short_name,
+              regexp_replace(c_name, 'Customer', 'Cust', 'g')
+                AS short_name,
               concat_ws('|', c_name, c_mktsegment) AS joined,
               CAST(length(c_name) AS INT) AS name_len
               FROM customer""")),
@@ -449,9 +455,13 @@ object Extensions extends QueryModule {
       },
       Some("""WITH flagged AS (
                 SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                  -- FLOOR(epoch) matches the whole-second
+                  -- unix_timestamp on the Spark side; fractional gaps
+                  -- would flip boundaries in the (1800, 1801)s window
                   CASE WHEN lag(ts, 1) OVER w IS NULL
-                         OR epoch(CAST(ts AS TIMESTAMP))
-                          - epoch(CAST(lag(ts, 1) OVER w AS TIMESTAMP))
+                         OR FLOOR(epoch(CAST(ts AS TIMESTAMP)))
+                          - FLOOR(epoch(CAST(lag(ts, 1) OVER w
+                              AS TIMESTAMP)))
                           > 1800
                        THEN 1 ELSE 0 END AS new_sess
                 FROM events
@@ -496,8 +506,8 @@ object Extensions extends QueryModule {
               FROM events p JOIN events c
                 ON p.user_id = c.user_id
                 AND c.event_type = 'click'
-                AND abs(epoch(CAST(c.ts AS TIMESTAMP))
-                      - epoch(CAST(p.ts AS TIMESTAMP))) <= 3600
+                AND abs(FLOOR(epoch(CAST(c.ts AS TIMESTAMP)))
+                      - FLOOR(epoch(CAST(p.ts AS TIMESTAMP)))) <= 3600
               WHERE p.event_type = 'purchase'
               GROUP BY 1, 2""")),
 
@@ -541,9 +551,15 @@ object Extensions extends QueryModule {
             col("asof_click_id"), col("asof_click_value"))
       },
       Some("""WITH clicks AS (
-                SELECT user_id, ts, event_id AS click_id,
+                -- dedup on the MICROSECOND-cast ts: Spark reads the
+                -- ns-precision column truncated to micros, so two
+                -- clicks in the same microsecond are one tie-class
+                -- there — partitioning on raw ns ts would keep both
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       event_id AS click_id,
                        value AS click_value,
-                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                       ROW_NUMBER() OVER (
+                         PARTITION BY user_id, CAST(ts AS TIMESTAMP)
                          ORDER BY event_id DESC) AS rn
                 FROM events WHERE event_type = 'click'),
               dedup AS (SELECT user_id, ts, click_id, click_value
