@@ -25,6 +25,25 @@ import scala.collection.mutable
   */
 object TopKFreq {
 
+  /** Tie order identical to a SQL engine's binary collation: unsigned
+    * bytewise comparison of the UTF-8 encodings. Java's String
+    * compareTo orders by UTF-16 code units, which DISAGREES with
+    * UTF-8/code-point order when a supplementary-plane string (high
+    * surrogate 0xD800-0xDBFF) ties against a BMP char ≥ U+E000 — on an
+    * all-ASCII corpus the two orders coincide, so the divergence is
+    * invisible until non-ASCII tokens tie at a top-k boundary. */
+  private[functions] val utf8Order: Ordering[String] =
+    (a: String, b: String) => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** count desc, then UTF-8-binary item asc — the ranking used by the
+    * eviction, the merge prune, and top(), kept identical so the
+    * sketch's determinism claims hold under one collation. */
+  private val byCountDescItemAsc: Ordering[(String, Long)] =
+    Ordering.by[(String, Long), Long](-_._2)
+      .orElse(Ordering.by[(String, Long), String](_._1)(utf8Order))
+
   /** Mutable sketch state: item → (count, possible over-estimate).
     *
     * `floor` makes merge-pruning safe: when a capacity-overflow merge
@@ -49,7 +68,9 @@ object TopKFreq {
           // the newcomer inherits count+1 with that count as its error.
           // The floor guard covers post-merge states where an item from
           // a lower-floor sketch is the current minimum.
-          val (minItem, minCount0) = counts.minBy(p => (p._2, p._1))
+          val (minItem, minCount0) = counts.minBy(p => p)(
+            Ordering.by[(String, Long), Long](_._2)
+              .orElse(Ordering.by[(String, Long), String](_._1)(utf8Order)))
           val minCount = math.max(minCount0, floor)
           counts.remove(minItem); errors.remove(minItem)
           counts.update(item, minCount + 1)
@@ -88,7 +109,7 @@ object TopKFreq {
       // an item absent from BOTH sides is bounded by the charge sum
       floor = thisCharge + otherCharge
       if (counts.size > capacity) {
-        val sorted = counts.toSeq.sortBy(p => (-p._2, p._1))
+        val sorted = counts.toSeq.sorted(byCountDescItemAsc)
         val keep = sorted.take(capacity).map(_._1).toSet
         // dropped mass is accounted in the floor, not silently lost
         floor = math.max(floor, sorted.drop(capacity).head._2)
@@ -99,7 +120,7 @@ object TopKFreq {
     }
 
     def top(k: Int): Seq[(String, Long)] =
-      counts.toSeq.sortBy(p => (-p._2, p._1)).take(k)
+      counts.toSeq.sorted(byCountDescItemAsc).take(k)
   }
 
   /** An aggregator returning the top `k` items with their (over-)counts,

@@ -57,12 +57,16 @@ object RecallOps extends QueryModule {
       None),
 
     // IVF (nprobe=2 of 10 label-seeded cells) vs brute-force top-10.
+    // EAGER by composition: constructing the IVF side runs its
+    // training jobs (the recall plan itself is lazy over the
+    // checkpointed IVF result).
     Q("ann_ivf_recall",
       (s, d) => recallRow(
         VectorOps.queries("ann_cosine_topk")(s, d),
         ScaleOps.queries("ann_ivf_topk")(s, d),
         annKeys, threshold = 0.3),
-      None),
+      None,
+      eager = true),
 
     // Production MinHash+LSH (xxhash64 family) vs the portable-hash
     // pipeline that is itself hash-verified end-to-end against DuckDB —

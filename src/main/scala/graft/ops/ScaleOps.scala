@@ -97,6 +97,9 @@ object ScaleOps extends QueryModule {
     //      accumulation-order ulps), and re-broadcast as literals — the
     //      same train-then-broadcast shape a real IVF index uses at
     //      100 TB. Rows-only check; exact baseline is ann_cosine_topk.
+    //      EAGER by nature (training is a collect; Q.scala contract):
+    //      the result is checkpointed and the embeddings cache released
+    //      before returning, so construction leaves nothing pinned.
     Q("ann_ivf_topk",
       (s, d) => {
         val e = embeddings(s, d)
@@ -104,6 +107,7 @@ object ScaleOps extends QueryModule {
             transform(col("embedding"), x => x.cast("double")).as("v"))
           .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
           .cache()
+        try {
         // train: per-(cell, dim) mean over the label-seeded partition
         val centroids: Map[Int, Seq[Double]] = e
           .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -139,7 +143,12 @@ object ScaleOps extends QueryModule {
         scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select("query_id", "vec_id", "cos_sim", "rn")
+          .localCheckpoint(true) // materialized before finally releases
+        } finally {
+          e.unpersist()
+        }
       },
-      None)
+      None,
+      eager = true)
   )
 }

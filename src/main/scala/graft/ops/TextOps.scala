@@ -277,8 +277,15 @@ object TextOps extends QueryModule {
                 FROM scored WHERE q >= 0.5 AND rep <= 0.2)
               WHERE rn = 1""")),
 
-    // ---- Language ID: marker-stopword scoring with a fixed priority
-    //      order for ties (en > de > fr > es > zh).
+    // ---- Language ID: marker-stopword scoring over the four
+    //      marker-bearing languages, fixed tie priority en > de > fr >
+    //      es. zh has no space-separated stopword markers, so zh docs
+    //      score 0 everywhere and fall through to "en" — a documented
+    //      limitation of the whitespace-token heuristic (a CJK
+    //      character-class branch is the upgrade path; kept out because
+    //      the regex class must then be byte-identical in both
+    //      engines), and the reason is_correct exists as a column: the
+    //      query MEASURES the heuristic rather than presuming it.
     Q("lang_id",
       (s, d) => {
         val t = toksCol
@@ -402,12 +409,14 @@ object TextOps extends QueryModule {
           aggregate(tokHashes, lit(0L),
             (acc, h) => (acc * 31 + h) % p).as("rolling_hash"))
       },
-      Some("""SELECT doc_id,
+      // the per-token hash interpolates PortableHashOps.sqlH60 — the
+      // single source of the portable 60-bit hash — so an edit to the
+      // hash family cannot desynchronize this oracle silently
+      Some(s"""SELECT doc_id,
               list_reduce(
                 list_prepend(CAST(0 AS BIGINT),
                   list_transform(string_split(text, ' '), t ->
-                    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
-                      % 2147483647)),
+                    ${PortableHashOps.sqlH60("t")} % 2147483647)),
                 (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
               FROM documents""")),
 

@@ -58,9 +58,12 @@ class SparkEntrySpec extends AnyFunSuite {
   test("eager queries stay the rare, documented exception") {
     val eager = modules.flatMap(_.all).filter(_.eager).map(_.name)
     // each entry here carries an executing schema spec: CorpusOpsSpec
-    // for dup_clusters, GraphOpsSpec for the two component variants
+    // for dup_clusters, GraphOpsSpec for the two component variants,
+    // AnnRecallSpec for the IVF pair (eager because centroid training
+    // is a collect)
     assert(eager.sorted ==
-      Seq("dup_clusters", "graph_cc_components", "graph_cc_logstar"),
+      Seq("ann_ivf_recall", "ann_ivf_topk", "dup_clusters",
+        "graph_cc_components", "graph_cc_logstar"),
       s"new eager query needs its own executing schema spec: $eager")
   }
 }

@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions._
 
 class TopKFreqSpec extends SparkSpec {
 
+  test("ties rank in UTF-8 binary order (SQL collation), not UTF-16 " +
+    "code-unit order") {
+    // U+FFFD (UTF-8: EF BF BD) vs U+1F600 (UTF-8: F0 9F 98 80):
+    // binary collation puts U+FFFD FIRST; Java's compareTo would put
+    // the emoji first (its high surrogate 0xD83D < 0xFFFD)
+    val sketch = new TopKFreq.SpaceSaving(8)
+    sketch.add("�"); sketch.add("😀")
+    assert(sketch.top(1).map(_._1) == Seq("�"),
+      "tie-break diverged from UTF-8 binary order")
+  }
+
   test("space-saving top-k matches exact counts for true heavy hitters") {
     import spark.implicits._
     // 3 heavy tokens + a long tail

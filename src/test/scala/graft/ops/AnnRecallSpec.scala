@@ -16,6 +16,19 @@ class AnnRecallSpec extends SparkSpec {
         q -> rows.map(_.getAs[Long]("vec_id")).toSet
       }
 
+  test("eager IVF pair: output schemas pinned, no cache left behind") {
+    // Q.eager contract: eager queries are exempt from the analysis-only
+    // sweeps, so their schemas (and cache hygiene) pin HERE
+    val ivf = graft.SparkEntry.queries("ann_ivf_topk")(spark, sf)
+    assert(ivf.columns.toSeq ==
+      Seq("query_id", "vec_id", "cos_sim", "rn"))
+    val recall = graft.SparkEntry.queries("ann_ivf_recall")(spark, sf)
+    assert(recall.columns.toSeq ==
+      Seq("n_exact", "n_hit", "recall", "threshold"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the IVF builder left a cached plan pinned")
+  }
+
   test("IVF recall vs exact top-10") {
     val exact = topk("ann_cosine_topk")
     val ivf = topk("ann_ivf_topk")
