@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the hot vector-math path.
   *
@@ -19,9 +19,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * while staying in WholeStageCodegen.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
-  // Callers guarantee array<double> inputs (VectorOps casts first).
+  // The internal callers cast first (VectorOps.dot), but the SQL
+  // surface (graft_dot via GraftExtensions) has no such guard: without
+  // declared input types an int-array argument would pass analysis and
+  // then reinterpret the wrong bytes at runtime. ExpectsInputTypes
+  // makes analysis insert the casts (or fail cleanly).
+  // (return type inferred: AbstractDataType itself is private[spark])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 

@@ -109,8 +109,14 @@ object Pipeline {
     import org.apache.spark.sql.functions.{coalesce, col, date_format, lit}
     def writeInc(df: DataFrame, name: String, timeCol: String,
         cluster: Seq[String]): Unit = {
+      // one cached computation serves every pass below (the widening
+      // semi-join, the write, the sentinel probes): without it a
+      // restricted run with an existing sentinel re-runs the full model
+      // lineage up to three times
       val dated = df.withColumn("load_date",
         coalesce(date_format(col(timeCol), "yyyyMMdd"), lit("00000000")))
+        .cache()
+      try {
       val sentinelPath = new org.apache.hadoop.fs.Path(
         s"$outDir/$name/load_date=00000000")
       val fs = sentinelPath.getFileSystem(
@@ -150,11 +156,23 @@ object Pipeline {
       // from the sentinel to a real date, this build has no sentinel rows
       // and the stale sentinel partition would survive next to the
       // re-dated rows — duplicate rows on read. Clear it explicitly —
-      // safe because the scope widening above guarantees the re-dated
-      // rows' destination partitions were just (re)written.
+      // but ONLY when every stored sentinel transaction still exists
+      // somewhere in this build: a transaction that vanished from the
+      // build entirely (its raw dumps aged past retention) has its ONLY
+      // copy in the sentinel, and the scope-widening argument ("the
+      // destination partitions were just rewritten") does not apply to
+      // rows with no destination.
       if (fs.exists(sentinelPath) &&
-          scoped.filter(col("load_date") === "00000000").isEmpty)
-        fs.delete(sentinelPath, true)
+          scoped.filter(col("load_date") === "00000000").isEmpty) {
+        val orphaned = df.sparkSession.read.parquet(sentinelPath.toString)
+          .select(col("transaction_hash")).distinct()
+          .join(dated.select(col("transaction_hash")).distinct(),
+            Seq("transaction_hash"), "left_anti")
+        if (orphaned.isEmpty) fs.delete(sentinelPath, true)
+      }
+      } finally {
+        dated.unpersist()
+      }
     }
     writeInc(bld.intTransactionFlows, "int_transaction_flows", "tx_time",
       Seq("transaction_hash", "tx_time"))
@@ -169,8 +187,11 @@ object Pipeline {
     * prune the file listing and would parse the whole directory five
     * times. */
   def readRaw(spark: SparkSession, dir: String): Build = {
+    // the {.tsv,.tsv.gz} alternation (Hadoop glob) deliberately
+    // EXCLUDES quarantined *.tsv.gz.corrupt files — a bare *.tsv* glob
+    // would parse rejected bytes right back into the build
     def rd(token: String, schema: org.apache.spark.sql.types.StructType) =
-      Tsv.read(spark, s"$dir/*$token*.tsv*", schema)
+      Tsv.read(spark, s"$dir/*$token*{.tsv,.tsv.gz}", schema)
     build(
       rd("blocks", BlockchairSchemas.blocks),
       rd("transactions", BlockchairSchemas.transactions),
@@ -204,11 +225,15 @@ object Pipeline {
           m.contains("CorruptedGZIP") || c.isInstanceOf[java.io.EOFException]
       }
 
-  /** M7 — preflight: all five raw inputs present and non-empty. */
+  /** M7 — preflight: all five raw inputs present. Accepts BOTH dump
+    * layouts: a flat directory of files and dailyRun's per-type
+    * subdirectories (destinationDir/{type}/...) — the gate must be able
+    * to validate the layout the pipeline itself writes. */
   def preflight(dir: Path): Either[String, Unit] = {
     val required = Seq("blocks", "transactions", "inputs", "outputs",
       "addresses")
-    val missing = required.filter(latestFile(dir, _).isEmpty)
+    val missing = required.filter(t =>
+      latestFile(dir, t).isEmpty && latestFile(dir.resolve(t), t).isEmpty)
     if (missing.nonEmpty) Left(s"missing raw dumps: ${missing.mkString(", ")}")
     else Right(())
   }

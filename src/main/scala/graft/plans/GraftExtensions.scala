@@ -42,8 +42,14 @@ object GraftExtensions {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[Expression]) =>
-          DotProduct(children(0), children(1))))
+        (children: Seq[Expression]) => {
+          // a clean arity error instead of a raw IndexOutOfBounds from
+          // children(1); input TYPES are enforced by the expression's
+          // ExpectsInputTypes declaration
+          if (children.size != 2) throw new IllegalArgumentException(
+            s"graft_dot requires exactly 2 arguments, got ${children.size}")
+          DotProduct(children(0), children(1))
+        }))
   }
 
   /** Matches aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)

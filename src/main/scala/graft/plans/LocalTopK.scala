@@ -207,7 +207,7 @@ case class LocalTopKExec(
   * dense_rank — the set whose values on kept rows are unaffected by
   * dropping strictly-worse rows) and the filter bounds one of them. */
 object PushLocalTopK extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
 
   /** Max k we pre-reduce for — beyond this the heaps stop paying off. */
   private val MaxK = 10000
@@ -244,37 +244,66 @@ object PushLocalTopK extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
-        w @ Window(exprs, partSpec, ordSpec, child, _))
-      if ordSpec.nonEmpty && !child.isInstanceOf[LocalTopK] =>
-      val modes = exprs.map(modeOf)
-      if (modes.exists(_.isEmpty)) f // a non-rank-family expr → unsafe
+        w @ Window(exprs, partSpec, ordSpec, child0, _))
+      if ordSpec.nonEmpty =>
+      // Spark's own InferWindowGroupLimit may already have inserted a
+      // WindowGroupLimit for the same bound (it runs in the main
+      // optimizer batches, before injected rules). SUBSUME it rather
+      // than stack under it: both nodes reduce to the same retained-row
+      // superset and the downstream Window recomputes exact ranks, so
+      // keeping both pays two per-partition reducers plus the builtin's
+      // mandatory local sort for rows LocalTopK already bounded.
+      val child = child0 match {
+        case wgl: WindowGroupLimit
+          if wgl.partitionSpec == partSpec && wgl.orderSpec == ordSpec =>
+          wgl.child
+        case other => other
+      }
+      if (child.isInstanceOf[LocalTopK]) f
       else {
-        // among bounded rank-family exprs, prefer the strictest retention:
-        // row_number (exactly k rows) > rank (k + boundary ties) >
-        // dense_rank (k classes)
-        val bounded = modes.flatten.flatMap { case (alias, mode) =>
-          boundFor(cond, alias.exprId).map(k => (mode, k))
-        }
-        val priority: RankLikeMode => Int = {
-          case RowNumberMode => 0
-          case RankMode => 1
-          case DenseRankMode => 2
-        }
-        bounded.sortBy { case (m, k) => (priority(m), k) }.headOption match {
-          case Some((mode, k)) if k > 0 && k <= MaxK =>
-            f.copy(child = w.copy(child =
-              LocalTopK(partSpec, ordSpec, k, child, mode)))
-          case _ => f
+        val modes = exprs.map(modeOf)
+        if (modes.exists(_.isEmpty)) f // a non-rank-family expr → unsafe
+        else {
+          // among bounded rank-family exprs, prefer the strictest
+          // retention: row_number (exactly k rows) > rank (k + boundary
+          // ties) > dense_rank (k classes)
+          val bounded = modes.flatten.flatMap { case (alias, mode) =>
+            boundFor(cond, alias.exprId).map(k => (mode, k))
+          }
+          val priority: RankLikeMode => Int = {
+            case RowNumberMode => 0
+            case RankMode => 1
+            case DenseRankMode => 2
+          }
+          bounded.sortBy { case (m, k) => (priority(m), k) }
+            .headOption match {
+            case Some((mode, k)) if k > 0 && k <= MaxK =>
+              f.copy(child = w.copy(child =
+                LocalTopK(partSpec, ordSpec, k, child, mode)))
+            case _ => f
+          }
         }
       }
   }
 }
 
-/** Planner strategy for the custom logical node. */
+/** Planner strategy for the custom logical node. Also intercepts the
+  * built-in InferWindowGroupLimit when it stacks on top of LocalTopK:
+  * that rule runs in a LATER optimizer batch than injected rules, so it
+  * re-inserts a WindowGroupLimit above a LocalTopK it does not
+  * recognize — two per-partition reducers plus the builtin's mandatory
+  * local sort over rows LocalTopK already bounded. Injected strategies
+  * are consulted before the built-ins, so planning the redundant node
+  * as its child elides it (always safe: LocalTopK retains a superset of
+  * the rank bound and the downstream Window recomputes exact ranks). */
 object GraftStrategies extends SparkStrategy {
+  import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case LocalTopK(partSpec, ordSpec, k, child, mode) =>
       LocalTopKExec(partSpec, ordSpec, k, planLater(child), mode) :: Nil
+    case WindowGroupLimit(partSpec, ordSpec, _, _, child: LocalTopK)
+        if partSpec == child.partitionSpec && ordSpec == child.orderSpec =>
+      planLater(child) :: Nil
     case _ => Nil
   }
 }

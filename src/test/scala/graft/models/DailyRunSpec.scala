@@ -155,7 +155,16 @@ class DailyRunSpec extends SparkSpec {
     assert(report.fetched("outputs") == Fetch.Failed(404))
     assert(report.landedRows.keySet == Set("blocks", "transactions",
       "inputs"))
-    // M7 preflight is the gate that decides a partial day cannot build
+    // M7 preflight is the gate that decides a partial day cannot build:
+    // on dailyRun's own per-type layout it must name exactly the failed
+    // type (outputs never landed; addresses is not in this cfg's types)
+    Pipeline.preflight(dest) match {
+      case Left(msg) =>
+        assert(msg.contains("outputs"), msg)
+        assert(!msg.contains("blocks") && !msg.contains("transactions") &&
+          !msg.contains("inputs"), s"landed types reported missing: $msg")
+      case Right(_) => fail("preflight passed with a failed type")
+    }
     assert(Pipeline.preflight(dest.resolve("outputs")).isLeft)
   }
 }

@@ -133,6 +133,42 @@ class IncrementalBuildSpec extends SparkSpec {
       s"re-dated row lost or duplicated: ${rows.mkString(", ")}")
   }
 
+  test("the sentinel survives when its transactions VANISH from the " +
+    "build (aged-out raw data) — deletion requires every stored " +
+    "transaction to have a destination") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val out = Files.createTempDirectory("graft-incr-vanish")
+    def flows(rows: Seq[(String, Option[String])]) = {
+      import spark.implicits._
+      rows.toDF("transaction_hash", "t")
+        .select(col("transaction_hash"),
+          to_timestamp(col("t")).as("tx_time"),
+          lit("a").as("source_address"),
+          lit("b").as("destination_address"))
+    }
+    def bld(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.Build(df, df, df, df, df, df, df, df, df, df)
+    // day 1: h1 blockless → sentinel; h2 normal
+    Pipeline.writeBuildIncremental(bld(flows(Seq(
+      "h1" -> None, "h2" -> Some("2025-08-20 10:00:00")))), out.toString)
+    val flowsDir = out.resolve("int_transaction_flows")
+    assert(Files.isDirectory(flowsDir.resolve("load_date=00000000")))
+    // later: h1's raw dumps aged past retention — the build no longer
+    // contains h1 AT ALL (and has no sentinel rows). The old cleanup
+    // deleted the sentinel ("no sentinel rows in this build") and lost
+    // h1's only copy.
+    Pipeline.writeBuildIncremental(bld(flows(Seq(
+      "h2" -> Some("2025-08-20 10:00:00"),
+      "h3" -> Some("2025-09-20 09:00:00")))), out.toString,
+      loadDates = Some(Seq("20250920")))
+    assert(Files.isDirectory(flowsDir.resolve("load_date=00000000")),
+      "sentinel deleted while holding the only copy of a vanished tx")
+    val kept = spark.read
+      .parquet(flowsDir.resolve("load_date=00000000").toString)
+      .select("transaction_hash").collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("h1"), s"sentinel content changed: $kept")
+  }
+
   test("day-2 partitions contain exactly the day-2 transactions") {
     val (raw, out) = dirs
     val bld = Pipeline.readRaw(spark, raw.toString)

@@ -87,10 +87,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("clean-docs dedup is pre-reduced map-side (partial group limit)") {
+  test("clean-docs dedup is pre-reduced map-side by LocalTopK ALONE — " +
+    "the builtin group limit must not stack a second reducer") {
     val p = plan("pipeline_clean_docs")
-    assert(p.contains("WindowGroupLimit"), p.take(1500))
-    assert(p.contains("Partial"), p.take(1500))
+    assert(p.contains("LocalTopK"), p.take(1500))
+    // InferWindowGroupLimit runs after injected rules and would re-add
+    // its sort+reduce above LocalTopK; GraftStrategies elides it
+    assert(!p.contains("WindowGroupLimit"),
+      "builtin WindowGroupLimit stacked on top of LocalTopK")
   }
 
   test("q18: having-sum filter runs as a semi-join after a partial agg") {
