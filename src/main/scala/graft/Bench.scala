@@ -5,8 +5,17 @@ object Bench {
 
   /** One query's measurement: min of the timed executions, `failed` if ANY
     * execution threw. A failed query reports -1.0, never the elapsed time
-    * of its failure path — a broken query must not bench as "fast". */
-  final case class Timing(secs: Double, failed: Boolean)
+    * of its failure path — a broken query must not bench as "fast".
+    * `spread` = max/min across the timed runs: a same-query run-to-run
+    * ratio >NOISE_SPREAD means the host was loaded during at least one
+    * run, so the artifact flags itself rather than reading as a
+    * regression on an unchanged query set (r5: one 0.26 s query recorded
+    * 5.1 s in the official run). */
+  final case class Timing(secs: Double, failed: Boolean, spread: Double)
+
+  /** Run-to-run max/min ratio above which a query's measurement is
+    * marked noise-suspect in the emitted JSON. */
+  val NOISE_SPREAD = 3.0
 
   /** Locale-independent fixed-point rendering: the default-locale `f`
     * interpolator emits "0,123" under comma-decimal locales (e.g. de_DE),
@@ -29,7 +38,9 @@ object Bench {
         (dt, ok)
       }
       val ok = attempts.forall(_._2)
-      name -> Timing(if (ok) attempts.map(_._1).min else -1.0, !ok)
+      val times = attempts.map(_._1)
+      val spread = if (ok && times.min > 0) times.max / times.min else 1.0
+      name -> Timing(if (ok) times.min else -1.0, !ok, spread)
     }.toMap
 
   /** One JSON line: total over SUCCEEDED queries, per-query seconds
@@ -45,9 +56,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.toSeq.filter(_._2.failed).map(_._1).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Self-diagnosing noise marker: queries whose run-to-run spread
+    // exceeded NOISE_SPREAD (their min is still reported, but a reader
+    // comparing rounds knows not to trust this entry as steady-state).
+    val noisy = results.toSeq
+      .filter { case (_, t) => !t.failed && t.spread > NOISE_SPREAD }
+      .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spreads = sel.map { case (k, t) => "\"" + k + "\":" + num(t.spread) }
+      .mkString("{", ",", "}")
     val total = results.values.collect { case t if !t.failed => t.secs }.sum
     s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""queries":$qs,"failed":$failed,"sf":"$sf"}"""
+      s""""queries":$qs,"failed":$failed,"noise_suspect":$noisy,""" +
+      s""""spread":$spreads,"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,12 +88,16 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
-    // Stable order + per-query cache isolation; two timed runs, min kept.
+    // Stable order + per-query cache isolation; three timed runs, min
+    // kept. Two runs proved noise-fragile (r5: the official artifact
+    // read 2× high on an unchanged query set when both runs landed on a
+    // loaded host); with three, one clean run suffices and the spread
+    // field flags the entries where even the min may be suspect.
     val results = measure(
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
       },
-      runs = 2,
+      runs = 3,
       reset = () => spark.catalog.clearCache())
     // r1+r2 driver runs both recorded parsed:null: the full per-query JSON
     // line is ~4.5 KB, so its START falls outside the driver's stdout-tail

@@ -297,18 +297,29 @@ object Extensions extends QueryModule {
                 AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""")),
 
     // ---- Set operators with DISTINCT semantics: customers active in
-    //      both/only-one of two years.
+    //      both/only-one of two years. The oracle keeps the textbook
+    //      INTERSECT/EXCEPT formulation; the Spark side computes the SAME
+    //      relation as ONE scan + ONE aggregate — the literal operator
+    //      pair costs 4 scans of orders and 2 independent shuffle-dedups,
+    //      which is the first plan a 100×-scale user would have to
+    //      rewrite. Presence in each year collapses to a conditional MAX
+    //      per customer (map-side combinable), and the both/only labels
+    //      are derived from the two presence bits.
     Q("x8_set_ops",
       (s, d) => {
-        def custsIn(year: Int) = orders(s, d)
-          .filter(col("o_orderdate") >= to_timestamp(lit(s"$year-01-01 00:00:00"))
-            && col("o_orderdate") < to_timestamp(lit(s"${year + 1}-01-01 00:00:00")))
-          .select(col("o_custkey").as("cust"))
-        val both = custsIn(1996).intersect(custsIn(1997))
-          .withColumn("which", lit("both"))
-        val only96 = custsIn(1996).except(custsIn(1997))
-          .withColumn("which", lit("only_1996"))
-        both.unionByName(only96)
+        val t96 = to_timestamp(lit("1996-01-01 00:00:00"))
+        val t97 = to_timestamp(lit("1997-01-01 00:00:00"))
+        val t98 = to_timestamp(lit("1998-01-01 00:00:00"))
+        orders(s, d)
+          .filter(col("o_orderdate") >= t96 && col("o_orderdate") < t98)
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(
+            max(when(col("o_orderdate") < t97, 1).otherwise(0)).as("in96"),
+            max(when(col("o_orderdate") >= t97, 1).otherwise(0)).as("in97"))
+          .filter(col("in96") === 1)
+          .select(col("cust"),
+            when(col("in97") === 1, lit("both"))
+              .otherwise(lit("only_1996")).as("which"))
       },
       Some("""WITH c96 AS (SELECT o_custkey AS cust FROM orders
                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -50,7 +50,15 @@ object TraceOps extends QueryModule {
     * sets on its own, and falls back to a shuffle join when the edges
     * outgrow the threshold, which is exactly the degradation wanted. */
   def trace(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
-    val e = edges.cache()
+    // No .cache() on the edge plan: j5 is a LAZY query, so a pinned cache
+    // would outlive execution and accumulate across traces in a long-lived
+    // serving session (one pinned plan per window traced). The edge
+    // subtree repeats once per hop in the final plan, but every repeat is
+    // byte-identical, so physical planning dedupes it — ReuseExchange
+    // materializes the distinct's shuffle once and wires every hop join to
+    // the same exchange output. TraceSpec pins that the cache registry
+    // stays empty after executing j5/j6.
+    val e = edges
     var frontier = e.filter(col("src") === source).withColumn("hop", lit(1))
     var acc = frontier
     for (h <- 2 to maxHops) {

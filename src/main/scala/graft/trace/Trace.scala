@@ -35,6 +35,12 @@ object Trace {
     * transferred_value_btc — ordered by (hop, tx_time), LIMIT applied
     * (app.py:373-374). */
   def trace(traces: DataFrame, p: TraceParams): DataFrame = {
+    // The edge cache exists only for the duration of this call: each hop's
+    // eager localCheckpoint scans it, the anchor is checkpointed too so
+    // the RETURNED plan references only checkpointed RDDs (never the
+    // cached plan), and the finally releases it — a long-lived serving
+    // session tracing many windows must not accumulate one pinned edge
+    // plan per trace. TraceSpec pins the empty-cache-registry postcondition.
     val edges = traces.select(
         col("source_address"), col("destination_address"),
         col("transaction_hash"), col("block_id"), col("tx_time"),
@@ -43,25 +49,27 @@ object Trace {
       .filter(col("source_address").isNotNull &&
         col("destination_address").isNotNull)
       .cache()
-
-    var frontier = edges
-      .filter(col("source_address") === p.sourceAddress)
-      .withColumn("hop", lit(1))
-    var acc = frontier
-    for (h <- 2 to p.maxHops) {
-      frontier = frontier.select(col("destination_address").as("prev_dst"))
-        .join(edges, col("prev_dst") === edges("source_address"))
-        .drop("prev_dst")
-        .withColumn("hop", lit(h))
+    try {
+      var frontier = edges
+        .filter(col("source_address") === p.sourceAddress)
+        .withColumn("hop", lit(1))
         .localCheckpoint()
-      acc = acc.unionByName(frontier)
-    }
-    acc.select(col("hop"), col("source_address"),
-        col("destination_address"), col("transaction_hash"),
-        col("block_id"), col("tx_time"), col("transferred_value_btc"))
-      .orderBy(col("hop"), col("tx_time"), col("transaction_hash"),
-        col("destination_address"))
-      .limit(p.limit)
+      var acc = frontier
+      for (h <- 2 to p.maxHops) {
+        frontier = frontier.select(col("destination_address").as("prev_dst"))
+          .join(edges, col("prev_dst") === edges("source_address"))
+          .drop("prev_dst")
+          .withColumn("hop", lit(h))
+          .localCheckpoint()
+        acc = acc.unionByName(frontier)
+      }
+      acc.select(col("hop"), col("source_address"),
+          col("destination_address"), col("transaction_hash"),
+          col("block_id"), col("tx_time"), col("transferred_value_btc"))
+        .orderBy(col("hop"), col("tx_time"), col("transaction_hash"),
+          col("destination_address"))
+        .limit(p.limit)
+    } finally edges.unpersist()
   }
 
   /** J6 — degradation retry (app.py:380-383): any failure reruns with

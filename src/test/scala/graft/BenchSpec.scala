@@ -32,9 +32,9 @@ class BenchSpec extends AnyFunSuite {
 
   test("JSON carries the failed list and excludes failures from total") {
     val results = Map(
-      "a" -> Bench.Timing(1.25, failed = false),
-      "b" -> Bench.Timing(-1.0, failed = true),
-      "c" -> Bench.Timing(2.0, failed = false))
+      "a" -> Bench.Timing(1.25, failed = false, spread = 1.1),
+      "b" -> Bench.Timing(-1.0, failed = true, spread = 1.0),
+      "c" -> Bench.Timing(2.0, failed = false, spread = 1.4))
     val json = Bench.renderJson(results, "sfX", None)
     assert(json.contains(""""failed":["b"]"""))
     assert(json.contains(""""value":3.250"""))
@@ -44,6 +44,32 @@ class BenchSpec extends AnyFunSuite {
     assert(short.contains(""""queries":{"a":1.250}"""))
     assert(short.contains(""""failed":["b"]"""))
     assert(short.contains(""""value":3.250"""))
+  }
+
+  test("noise_suspect flags queries whose run-to-run spread exceeds 3x") {
+    val results = Map(
+      "steady" -> Bench.Timing(1.0, failed = false, spread = 1.2),
+      "noisy" -> Bench.Timing(0.3, failed = false, spread = 15.8),
+      "dead" -> Bench.Timing(-1.0, failed = true, spread = 9.9))
+    val json = Bench.renderJson(results, "sfX", None)
+    // only the live noisy query is flagged; failures are not double-reported
+    assert(json.contains(""""noise_suspect":["noisy"]"""))
+    assert(json.contains(""""spread":{"""))
+    assert(json.contains(""""noisy":15.800"""))
+  }
+
+  test("measure records max/min spread across runs") {
+    var n = 0
+    val results = Bench.measure(
+      Seq("ramp" -> (() => {
+        n += 1
+        Thread.sleep(if (n == 1) 80L else 5L) // first run 'loaded host'
+      })),
+      runs = 3, reset = () => ())
+    assert(!results("ramp").failed)
+    assert(results("ramp").spread > 3.0) // 80ms vs ~5ms
+    // min kept, not mean: the clean runs define the reported capability
+    assert(results("ramp").secs < 0.05)
   }
 
   test("number rendering is locale-independent") {

@@ -289,4 +289,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("x26_upsert")
     assert(p.contains("FullOuter"), p.take(1500))
   }
+
+  test("x8: set ops collapse to ONE orders scan and ONE aggregate " +
+    "(not 4 scans + 2 shuffle-dedups)") {
+    val p = plan("x8_set_ops")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 orders scan, saw $scans\n${p.take(1500)}")
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(aggExchanges == 1,
+      s"expected 1 exchange (the aggregate), saw $aggExchanges\n${p.take(1500)}")
+    assert(p.contains("partial_max"), "presence bits must combine map-side")
+  }
 }
