@@ -16,12 +16,13 @@ import graft.Tables._
   *  - deterministic stratified sampling: reproducible hash-threshold
   *    sampling with per-stratum rates (downsample the dominant language).
   *
-  * Scale designs: components via min-label propagation — O(diameter)
-  * rounds of a shuffle-light join on the (small) edge list, with the
-  * full corpus never entering the loop (at extreme component counts,
-  * switch the loop body to the large-star/small-star rounds of Kiveris
-  * et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
-  * same join primitive, O(log n) rounds). Decontamination broadcasts the
+  * Scale designs: components via GraphOps.ccLogStar — the
+  * large-star/small-star rounds of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14: O(log n) rounds
+  * INDEPENDENT of component diameter (near-dup chains are the
+  * long-diameter adversary), each round a join over the shrinking edge
+  * list, with the full corpus never entering the loop.
+  * Decontamination broadcasts the
   * eval shingle set — eval suites are small by construction, so the scan
   * over 100 TB of training shingles is map-only. Sampling is a per-row
   * portable-hash threshold: zero shuffle, reproducible across engines
@@ -33,80 +34,38 @@ object CorpusOps extends QueryModule {
 
     // ---- Duplicate-cluster resolution: connected components over the
     //      bigram-Jaccard near-dup pairs (TextOps.jaccardPairs), then
-    //      one canonical doc (min doc_id) per component. Min-label
-    //      propagation: labels only ever decrease and are bounded, so
-    //      the loop converges in <= diameter iterations; each iteration
-    //      touches only the pair graph, never the corpus.
+    //      one canonical doc (min doc_id) per component. The component
+    //      labels come from GraphOps.ccLogStar — the O(log n)-round
+    //      large-star/small-star body — because near-dup CHAINS
+    //      (A≈B≈C≈…, each neighbor sharing just enough shingles) are
+    //      exactly the long-diameter shape that defeats an O(diameter)
+    //      min-label loop at corpus scale. One CC implementation serves
+    //      both the graph tier and corpus curation; the min-label
+    //      variant survives only as graph_cc_components' documented
+    //      low-round-count alternative, not as duplicated logic here.
     //
     //      Marked EAGER: the round count is convergence-driven (an
     //      action per round), so this cannot be one lazy plan — Spark
     //      4.1's native recursive CTE would be, but it only accepts
     //      UNION ALL in the recursive step, which never terminates on a
-    //      cyclic edge list. The final labels are localCheckpoint-ed so
-    //      the returned plan holds no pinned SQL cache: every
-    //      intermediate cache is unpersisted before returning, and the
-    //      checkpoint blocks are freed by the ContextCleaner when the
-    //      result is dropped.
+    //      cyclic edge list. ccLogStar localCheckpoints every round and
+    //      its result, releases each round's blocks explicitly, and
+    //      registers nothing with the cacheManager; the corpus-sized
+    //      docs cache inside jaccardPairs is released in the finally.
     Q("dup_clusters",
       (s, d) => {
-        // Materialize the (small) pair list once, then drop every
-        // corpus-sized input before the loop: the iterations must touch
-        // only the edge list, and nothing corpus-sized may stay pinned
-        // in a long-lived session.
         val (rawPairs, releaseDocs) = TextOps.jaccardPairsWithRelease(s, d)
-        val pairs = rawPairs.select("doc_a", "doc_b").cache()
-        val edges = pairs
-          .union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").cache()
-        var cached = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("lab", col("doc_id")).cache()
-        // finally-scoped release (all unpersists are idempotent): a
-        // failure anywhere — the first count, a loop round, the
-        // non-convergence require — must not leave the corpus-sized
-        // docs cache or the pair graph pinned in a long-lived session
         try {
-          edges.count()
-          // corpus-sized caches released BEFORE the loop (the finally
-          // below is only the failure backstop): iterations must touch
-          // nothing but the edge list
-          releaseDocs()
-          pairs.unpersist()
-          var labels = cached
-          var changed = 1L
-          var rounds = 0
-          while (changed > 0 && rounds < 64) {
-            // the aggregate carries the previous label alongside the
-            // new minimum (one non-null prev row per doc), so
-            // convergence needs no second join and the round runs ONE
-            // action: the count() that also materializes the cache
-            val prop = edges
-              .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-              .select(col("dst").as("doc_id"), col("lab"),
-                lit(null).cast("long").as("prev"))
-            val next = labels.withColumn("prev", col("lab")).union(prop)
-              .groupBy("doc_id")
-              .agg(min("lab").as("lab"), max("prev").as("prev")).cache()
-            changed = next.filter(col("lab") =!= col("prev")).count()
-            cached.unpersist()
-            cached = next
-            labels = next.select("doc_id", "lab")
-            rounds += 1
-          }
-          require(changed == 0,
-            s"label propagation not converged after $rounds rounds")
-          val sizes = labels.groupBy("lab")
-            .agg(count(lit(1)).as("cluster_size"))
-          labels.join(sizes, Seq("lab"))
-            .select(col("doc_id"), col("lab").as("cluster_id"),
-              col("cluster_size"),
-              (col("doc_id") === col("lab")).as("is_canonical"))
-            .localCheckpoint(true) // materialized before finally runs
-        } finally {
-          releaseDocs()
-          pairs.unpersist()
-          edges.unpersist()
-          cached.unpersist()
-        }
+          // ccLogStar's first checkpoint materializes the pair list
+          // (the one pass that touches the corpus); every round after
+          // that sees only the shrinking edge list.
+          val cc = GraphOps.ccLogStar(rawPairs.select(
+            col("doc_a").as("src"), col("doc_b").as("dst")))
+          cc.select(col("node").as("doc_id"),
+            col("component_id").as("cluster_id"),
+            col("component_size").as("cluster_size"),
+            (col("node") === col("component_id")).as("is_canonical"))
+        } finally releaseDocs()
       },
       Some(s"""WITH RECURSIVE
             pairs AS (SELECT doc_a, doc_b
