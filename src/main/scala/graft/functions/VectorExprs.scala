@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -19,13 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * while staying in WholeStageCodegen.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   // The internal callers cast first (VectorOps.dot), but the SQL
   // surface (graft_dot via GraftExtensions) has no such guard: without
   // declared input types an int-array argument would pass analysis and
-  // then reinterpret the wrong bytes at runtime. ExpectsInputTypes
-  // makes analysis insert the casts (or fail cleanly).
+  // then reinterpret the wrong bytes at runtime. ImplicitCastInputTypes
+  // (not bare ExpectsInputTypes, which only REJECTS mismatches) is what
+  // makes analysis insert a widening cast, so graft_dot(array<int>, …)
+  // works on the SQL surface and never reinterprets bytes.
   // (return type inferred: AbstractDataType itself is private[spark])
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType

@@ -116,11 +116,33 @@ object Pipeline {
       val dated = df.withColumn("load_date",
         coalesce(date_format(col(timeCol), "yyyyMMdd"), lit("00000000")))
         .cache()
+      val sc = df.sparkSession.sparkContext
+      var orphanIds = Set.empty[Int]
       try {
       val sentinelPath = new org.apache.hadoop.fs.Path(
         s"$outDir/$name/load_date=00000000")
       val fs = sentinelPath.getFileSystem(
         df.sparkSession.sparkContext.hadoopConfiguration)
+      // Snapshot the stored sentinel rows whose transaction no longer
+      // exists ANYWHERE in this build (vanished: raw dumps aged past
+      // retention — the sentinel holds their only copy) BEFORE the
+      // write: when this build carries its own sentinel rows the dynamic
+      // overwrite replaces the stored partition, so an after-the-fact
+      // read would see this build's rows, not the history. Materialized
+      // eagerly because the writes below replace the very files this
+      // plan reads; the sentinel is small by construction, and the
+      // checkpoint blocks are released in the finally.
+      val orphanRows =
+        if (!fs.exists(sentinelPath)) None
+        else {
+          val before = sc.getPersistentRDDs.keySet.toSet
+          val o = df.sparkSession.read.parquet(sentinelPath.toString)
+            .join(dated.select(col("transaction_hash")).distinct(),
+              Seq("transaction_hash"), "left_anti")
+            .localCheckpoint(true)
+          orphanIds = sc.getPersistentRDDs.keySet.toSet -- before
+          Some(o)
+        }
       // The sentinel partition is ALWAYS in scope (a restricted rewrite
       // that filtered it out would silently drop this build's null-time
       // rows), and a restricted scope is WIDENED to the current load_date
@@ -151,27 +173,39 @@ object Pipeline {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("load_date").parquet(s"$outDir/$name")
-      // dynamic overwrite only replaces partitions PRESENT in the written
-      // data: when a formerly-missing block arrives and its tx rows move
-      // from the sentinel to a real date, this build has no sentinel rows
-      // and the stale sentinel partition would survive next to the
-      // re-dated rows — duplicate rows on read. Clear it explicitly —
-      // but ONLY when every stored sentinel transaction still exists
-      // somewhere in this build: a transaction that vanished from the
-      // build entirely (its raw dumps aged past retention) has its ONLY
-      // copy in the sentinel, and the scope-widening argument ("the
-      // destination partitions were just rewritten") does not apply to
-      // rows with no destination.
-      if (fs.exists(sentinelPath) &&
-          scoped.filter(col("load_date") === "00000000").isEmpty) {
-        val orphaned = df.sparkSession.read.parquet(sentinelPath.toString)
-          .select(col("transaction_hash")).distinct()
-          .join(dated.select(col("transaction_hash")).distinct(),
-            Seq("transaction_hash"), "left_anti")
-        if (orphaned.isEmpty) fs.delete(sentinelPath, true)
+      // Reconcile the sentinel partition AFTER the write. The invariant:
+      // post-run sentinel content = this build's sentinel rows ∪ stored
+      // VANISHED rows (transactions absent from the whole build — their
+      // only copy lives here). Re-dated rows (present in the build under
+      // a real date, which the scope widening above just rewrote) must
+      // LEAVE the sentinel, or they exist twice on read. The old
+      // all-or-nothing cleanup ("keep the partition if ANY stored tx
+      // vanished") duplicated re-dated rows whenever vanished and
+      // re-dated transactions shared one stored sentinel.
+      orphanRows.foreach { o =>
+        val buildHasSentinel =
+          !scoped.filter(col("load_date") === "00000000").isEmpty
+        val hasOrphans = !o.isEmpty
+        if (buildHasSentinel) {
+          // dynamic overwrite just replaced the partition with this
+          // build's sentinel rows; vanished history rides alongside
+          if (hasOrphans) o.write.mode("append")
+            .parquet(sentinelPath.toString)
+        } else if (hasOrphans) {
+          // mixed case: drop the re-dated rows, keep only the vanished
+          // ones (the checkpoint above means this does not read the
+          // files it replaces)
+          o.write.mode("overwrite").parquet(sentinelPath.toString)
+        } else {
+          // every stored tx was re-dated into a real partition: the
+          // whole sentinel is stale
+          fs.delete(sentinelPath, true)
+        }
       }
       } finally {
         dated.unpersist()
+        orphanIds.foreach(id => sc.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false)))
       }
     }
     writeInc(bld.intTransactionFlows, "int_transaction_flows", "tx_time",

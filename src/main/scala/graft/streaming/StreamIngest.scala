@@ -24,11 +24,37 @@ import org.apache.spark.sql.Row
 object StreamIngest {
 
   /** Streaming S1: same format contract as the batch reader
-    * (ingest/Tsv.read) INCLUDING the corrupt-row contract — malformed
-    * rows land in `_corrupt_record` instead of silently becoming
-    * all-null rows that drain into watermarked aggregates. */
+    * (ingest/Tsv.read), and the same EXCLUSION guarantee as the batch
+    * quarantine path (Tsv.readSkippingBadFiles): in permissive mode
+    * malformed rows are filtered OUT of the returned stream — a
+    * PERMISSIVE husk (null fields + populated marker) flowing into a
+    * watermarked aggregate is a silent correctness bug, not a
+    * recoverable condition. To RETAIN the rejected rows, run
+    * [[corruptTsvStream]] over the same directory as a second streaming
+    * query wired to a quarantine sink. */
   def readTsvStream(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Int = 1, permissive: Boolean = true): DataFrame = {
+    val raw = rawTsvStream(spark, dir, schema, maxFilesPerTrigger,
+      permissive)
+    if (permissive)
+      raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    else raw
+  }
+
+  /** The rejected side of [[readTsvStream]]: rows whose parse failed,
+    * with the raw line in `_corrupt_record` and every schema field its
+    * PERMISSIVE null husk. Kept as whole rows (not a bare-marker
+    * projection) both for forensics and because a scan whose required
+    * schema is ONLY the corrupt column is rejected by the CSV source. */
+  def corruptTsvStream(spark: SparkSession, dir: String,
+      schema: StructType, maxFilesPerTrigger: Int = 1): DataFrame =
+    rawTsvStream(spark, dir, schema, maxFilesPerTrigger,
+      permissive = true)
+      .filter(col("_corrupt_record").isNotNull)
+
+  private def rawTsvStream(spark: SparkSession, dir: String,
+      schema: StructType, maxFilesPerTrigger: Int,
+      permissive: Boolean): DataFrame = {
     val withCorrupt = if (permissive)
       schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
     else schema
@@ -228,8 +254,12 @@ object StreamIngest {
               math.max(open.map(_._2).min + gapMs, wm + 1))
           }
           closed.iterator.map { case (s0, e0, n0) =>
+            // sess_end = last event + gap, matching session_window's
+            // half-open [start, end) — NOT the last event time, so the
+            // two operators are drop-in interchangeable (sess_end and
+            // any derived duration agree; the parity test asserts it)
             (userId, new java.sql.Timestamp(s0),
-              new java.sql.Timestamp(e0), n0)
+              new java.sql.Timestamp(e0 + gapMs), n0)
           }
       }.toDF("user_id", "sess_start", "sess_end", "n_events")
   }

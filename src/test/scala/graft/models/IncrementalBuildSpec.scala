@@ -169,6 +169,78 @@ class IncrementalBuildSpec extends SparkSpec {
     assert(kept == Seq("h1"), s"sentinel content changed: $kept")
   }
 
+  test("MIXED sentinel: re-dated rows leave, vanished rows keep their " +
+    "only copy — neither duplicated nor lost") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val out = Files.createTempDirectory("graft-incr-mixed")
+    def flows(rows: Seq[(String, Option[String])]) = {
+      import spark.implicits._
+      rows.toDF("transaction_hash", "t")
+        .select(col("transaction_hash"),
+          to_timestamp(col("t")).as("tx_time"),
+          lit("a").as("source_address"),
+          lit("b").as("destination_address"))
+    }
+    def bld(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.Build(df, df, df, df, df, df, df, df, df, df)
+    // day 1: h1 AND h4 blockless → both in the sentinel; h2 normal
+    Pipeline.writeBuildIncremental(bld(flows(Seq(
+      "h1" -> None, "h4" -> None,
+      "h2" -> Some("2025-08-20 10:00:00")))), out.toString)
+    val flowsDir = out.resolve("int_transaction_flows")
+    // later: h1's block arrived (re-dated to 0820), h4 aged out of the
+    // build entirely. The all-or-nothing cleanup kept the WHOLE stored
+    // sentinel because h4 vanished — so h1 existed both re-dated and in
+    // the surviving sentinel: duplicate rows on read.
+    Pipeline.writeBuildIncremental(bld(flows(Seq(
+      "h1" -> Some("2025-08-20 10:05:00"),
+      "h2" -> Some("2025-08-20 10:00:00")))), out.toString,
+      loadDates = Some(Seq("20250920")))
+    val sentinelKept = spark.read
+      .parquet(flowsDir.resolve("load_date=00000000").toString)
+      .select("transaction_hash").collect().map(_.getString(0)).toSeq
+    assert(sentinelKept == Seq("h4"),
+      s"sentinel must hold exactly the vanished tx: $sentinelKept")
+    val all = spark.read.parquet(flowsDir.toString)
+      .select(col("transaction_hash"), col("load_date").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // partition values are type-inferred on read: "00000000" reads as 0
+    assert(all.toSeq == Seq("h1" -> "20250820", "h2" -> "20250820",
+      "h4" -> "0"),
+      s"re-dated row duplicated or vanished row lost: ${all.mkString(", ")}")
+  }
+
+  test("a build with NEW sentinel rows still preserves stored vanished " +
+    "rows (dynamic overwrite must not destroy their only copy)") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val out = Files.createTempDirectory("graft-incr-newsent")
+    def flows(rows: Seq[(String, Option[String])]) = {
+      import spark.implicits._
+      rows.toDF("transaction_hash", "t")
+        .select(col("transaction_hash"),
+          to_timestamp(col("t")).as("tx_time"),
+          lit("a").as("source_address"),
+          lit("b").as("destination_address"))
+    }
+    def bld(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.Build(df, df, df, df, df, df, df, df, df, df)
+    // day 1: h4 blockless → sentinel
+    Pipeline.writeBuildIncremental(bld(flows(Seq(
+      "h4" -> None, "h2" -> Some("2025-08-20 10:00:00")))), out.toString)
+    val flowsDir = out.resolve("int_transaction_flows")
+    // day 2: h4 aged out; h5 arrives blockless. The dynamic overwrite
+    // rewrites the sentinel partition with h5 — h4's only copy must be
+    // re-attached, not silently destroyed.
+    Pipeline.writeBuildIncremental(bld(flows(Seq(
+      "h5" -> None, "h2" -> Some("2025-08-20 10:00:00")))), out.toString,
+      loadDates = Some(Seq("20250920")))
+    val sentinelKept = spark.read
+      .parquet(flowsDir.resolve("load_date=00000000").toString)
+      .select("transaction_hash").collect().map(_.getString(0)).sorted.toSeq
+    assert(sentinelKept == Seq("h4", "h5"),
+      s"sentinel must hold new blockless AND vanished tx: $sentinelKept")
+  }
+
   test("day-2 partitions contain exactly the day-2 transactions") {
     val (raw, out) = dirs
     val bld = Pipeline.readRaw(spark, raw.toString)

@@ -71,4 +71,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT graft_dot(a, b) FROM vecs").collect()
     assert(r(0).getDouble(0) == 11.0)
   }
+
+  test("graft_dot on the SQL surface widens integer arrays via an " +
+    "implicit cast — never a byte reinterpretation") {
+    import spark.implicits._
+    Seq((Array(1, 2), Array(3.0, 4.0))).toDF("ai", "b")
+      .createOrReplaceTempView("vecs_int")
+    val q = spark.sql("SELECT graft_dot(ai, b) AS d FROM vecs_int")
+    // analysis inserted a cast (ImplicitCastInputTypes), and the value
+    // is the arithmetic answer, not reinterpreted garbage
+    assert(q.queryExecution.analyzed.toString.contains("cast"))
+    assert(q.collect()(0).getDouble(0) == 11.0)
+  }
 }

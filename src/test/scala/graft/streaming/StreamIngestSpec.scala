@@ -33,6 +33,37 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("fee_sats_total") == 13100000L)
   }
 
+  test("malformed rows are EXCLUDED from the clean stream and surface " +
+    "on the corrupt stream — no null husks reach downstream aggregates") {
+    val dir = Files.createTempDirectory("graft-stream-corrupt")
+    Files.writeString(
+      dir.resolve("blockchair_bitcoin_inputs_20250820.tsv"),
+      Fixtures.inputsHeader + "\n" +
+        "not_a_number\tbadrow\tx\ty\tz\n" + // malformed
+        Fixtures.inputsRows.head + "\n")
+    val clean = StreamIngest.readTsvStream(spark, dir.toString,
+      graft.schema.BlockchairSchemas.inputs)
+    assert(!clean.columns.contains("_corrupt_record"),
+      "clean stream must carry the batch reader's post-quarantine schema")
+    val q = clean.writeStream.format("memory").queryName("clean_inputs")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT COUNT(*) FROM clean_inputs")
+      .collect()(0).getLong(0) == 1, "husk row leaked into the stream")
+    val corrupt = StreamIngest.corruptTsvStream(spark, dir.toString,
+      graft.schema.BlockchairSchemas.inputs)
+    val q2 = corrupt.writeStream.format("memory").queryName("bad_inputs")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val bad = spark.sql("SELECT _corrupt_record FROM bad_inputs").collect()
+    assert(bad.length == 1 && bad(0).getString(0).startsWith("not_a_number"),
+      s"quarantine stream must carry the raw line: ${bad.mkString}")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     val dir = Files.createTempDirectory("graft-stream3")
     // the same transactions file landed twice (a re-delivered daily dump)
@@ -281,9 +312,11 @@ class StreamIngestSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
-    val streamed = spark.sql("SELECT user_id, sess_start, n_events " +
+    val streamed = spark.sql(
+      "SELECT user_id, sess_start, sess_end, n_events " +
       "FROM parity_sessions").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
       .toSet
     // batch truth: built-in session_window with the same gap. The
     // streaming side emits EXACTLY the sessions the final watermark
@@ -294,15 +327,19 @@ class StreamIngestSpec extends SparkSpec {
         session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("sess_start"),
-        (col("w.end").cast("long") * 1000 - gapMs)
-          .as("last_event_ms"), // session_window end = last event + gap
+        col("w.end").as("sess_end"), // = last event + gap (half-open)
         col("n_events"))
     val finalWatermarkMs = ev.agg(max(col("ts")).cast("long") * 1000)
       .head.getLong(0) - 60 * 1000
     val closed = batch
-      .filter(col("last_event_ms") + gapMs <= finalWatermarkMs)
+      // closed ⟺ last event + gap <= watermark, and sess_end IS
+      // last event + gap — asserting sess_end here is what pins the
+      // two operators as drop-in interchangeable (same end, same
+      // derived durations), not just same membership
+      .filter(col("sess_end").cast("long") * 1000 <= finalWatermarkMs)
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(3)))
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
       .toSet
     assert(streamed.nonEmpty, "no closed sessions emitted")
     assert(streamed == closed,
