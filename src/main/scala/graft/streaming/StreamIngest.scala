@@ -206,7 +206,11 @@ object StreamIngest {
       .sortBy(x => (x._1, x._2))
     all.foldLeft(Vector.empty[(Long, Long, Long)]) { (acc, nxt) =>
       acc.lastOption match {
-        case Some((s, e, n)) if nxt._1 < e + gapMs =>
+        // <= : the BUILT-IN session_window merges events EXACTLY gap
+        // apart (pinned by SessionBoundarySpec — found in round 6 when
+        // one exact-30-min pair at sf0.1 split the engines); the custom
+        // operator must agree or the two are not interchangeable.
+        case Some((s, e, n)) if nxt._1 <= e + gapMs =>
           acc.init :+ ((s, math.max(e, nxt._2), n + nxt._3))
         case _ => acc :+ nxt
       }
@@ -218,8 +222,9 @@ object StreamIngest {
     * [[sessionWindows]], with the SAME append semantics: state holds
     * ALL of a key's in-flight sessions, a session emits ONLY once the
     * watermark proves no admissible late row can extend it
-    * (end + gap <= watermark; rows below the watermark are dropped
-    * upstream), and emitted sessions leave the store. Late rows within
+    * (end + gap < watermark, STRICT: a row at exactly the watermark is
+    * admissible and a row at exactly end + gap still merges), and
+    * emitted sessions leave the store. Late rows within
     * the delay merge into — or bridge — existing in-flight sessions
     * exactly as the batch operator would. Contrast
     * [[runningAddressFlow]]'s NoTimeout: fine for a bounded key
@@ -244,7 +249,12 @@ object StreamIngest {
           val wm = state.getCurrentWatermarkMs()
           val merged = mergeSessions(state.getOption.getOrElse(Nil),
             rows.map(_._2.getTime).toVector, gapMs)
-          val (closed, open) = merged.partition(_._2 + gapMs <= wm)
+          // STRICTLY below the watermark: an admissible row may arrive
+          // AT the watermark (ts >= wm is not late), and with the
+          // closed-boundary merge above, a row at exactly end + gap ==
+          // wm must still extend the session — emitting at <= would
+          // evict state the builtin batch operator would merge into.
+          val (closed, open) = merged.partition(_._2 + gapMs < wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(open)

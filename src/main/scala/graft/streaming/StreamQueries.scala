@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.nio.file.Paths
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+import graft.Tables._
+import graft.ops.{Q, QueryModule}
+
+/** The streaming tier's representation in the DRIVER gate. Until round 6
+  * the streaming operators were ScalaTest-only — a semantics regression
+  * between rounds would never surface in CORRECTNESS_r{N}. Two queries
+  * close that:
+  *
+  *  - `sessionize_closed_batch`: the built-in `session_window` aggregate
+  *    over events, filtered to the sessions a final watermark (max ts −
+  *    1 min) proves closed — ORACLE-green against a DuckDB
+  *    gaps-and-islands re-implementation.
+  *  - `sessionize_stream`: the SAME relation produced by actually
+  *    RUNNING Structured Streaming — file source → custom-state
+  *    `sessionizeWithState` (flatMapGroupsWithState, EventTimeTimeout)
+  *    → AvailableNow trigger → memory sink — and checked against the
+  *    SAME oracle. The two operators are drop-in interchangeable
+  *    (StreamIngestSpec proves it row-for-row), so the streaming path
+  *    gets a full hash gate, not just rows>0.
+  *
+  * Event times are truncated to whole seconds on BOTH engines: the
+  * custom-state operator keys its merge arithmetic on epoch
+  * milliseconds (java.sql.Timestamp), and the synthetic events carry
+  * microsecond precision that would silently shear off — the gate pins
+  * semantics, so it removes the precision mismatch rather than hiding
+  * it. Boundary semantics (SessionBoundarySpec pins both): events
+  * exactly `gap` apart DO merge (the builtin's closed boundary — the
+  * oracle breaks only on `> gap`), and a session is closed only when
+  * `sess_end = last event + gap` is STRICTLY below the watermark (a row
+  * at exactly the watermark is admissible and would merge at exactly
+  * sess_end).
+  */
+object StreamQueries extends QueryModule {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+  private val gapMs = 30L * 60 * 1000
+
+  /** Shared by both queries — the relation is identical by design. */
+  private val closedSessionsOracle =
+    """WITH e AS (
+         SELECT user_id,
+           date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+         FROM events),
+       wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS wm FROM e),
+       flagged AS (
+         SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       grp AS (
+         SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS g
+         FROM flagged),
+       sess AS (
+         SELECT user_id, MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+           COUNT(*) AS n_events
+         FROM grp GROUP BY user_id, g)
+       SELECT user_id, sess_start, sess_end,
+         CAST(n_events AS BIGINT) AS n_events
+       FROM sess, wm WHERE sess_end < wm.wm"""
+
+  private def truncatedEvents(s: org.apache.spark.sql.SparkSession,
+      d: String) =
+    events(s, d).select(col("user_id"),
+      date_trunc("second", col("ts")).as("ts"))
+
+  def all: Seq[Q] = Seq(
+
+    // Batch twin: ONE shuffle on user_id for the session aggregate; the
+    // watermark scalar rides as a broadcast one-row aggregate so the
+    // whole thing stays a single lazy plan (the repo's standard shape
+    // for data-dependent scalars).
+    Q("sessionize_closed_batch",
+      (s, d) => {
+        val ev = truncatedEvents(s, d)
+        val wm = ev.agg(
+          (max(col("ts")) - expr("INTERVAL 1 MINUTE")).as("wm"))
+        ev.groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .crossJoin(broadcast(wm))
+          .filter(col("w.end") < col("wm"))
+          .select(col("user_id"), col("w.start").as("sess_start"),
+            col("w.end").as("sess_end"), col("n_events"))
+      },
+      Some(closedSessionsOracle)),
+
+    // EAGER by nature: constructing the result RUNS a streaming query
+    // (AvailableNow processes every file, then the no-data batch fires
+    // the event-time timeouts at watermark = max ts − delay). The
+    // memory-sink table is copied out via localCheckpoint and the view
+    // dropped, so nothing stays registered; no SQL cache is pinned
+    // (StreamIngestSpec pins schema + cache hygiene).
+    Q("sessionize_stream",
+      (s, d) => {
+        // Stage the (truncated) events as ONE parquet file in a
+        // per-(sf) staging dir: one file → one micro-batch → the run is
+        // deterministic, and parquet keeps timestamp values exact where
+        // a CSV round-trip would re-parse them.
+        val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_gate_${math.abs(d.hashCode)}").toString
+        truncatedEvents(s, d).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val src = s.readStream
+          .schema(new StructType()
+            .add("user_id", LongType).add("ts", TimestampType))
+          .parquet(stage)
+        val sess = StreamIngest.sessionizeWithState(
+          s, src, "ts", delay = "1 minute", gapMs = gapMs)
+        val qn = s"graft_gate_sessions_${ctr.incrementAndGet()}"
+        val q = sess.writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(300000),
+          "streaming sessionization did not terminate")
+        finally q.stop()
+        val out = s.table(qn).localCheckpoint(true)
+        s.catalog.dropTempView(qn)
+        out
+      },
+      Some(closedSessionsOracle),
+      eager = true)
+  )
+}

@@ -9,7 +9,7 @@ class SparkEntrySpec extends AnyFunSuite {
   private val modules: Seq[QueryModule] =
     Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
       Extensions, PortableHashOps, ClassicQueries, ClassicQueries2,
-      RecallOps, CorpusOps, GraphOps)
+      RecallOps, CorpusOps, GraphOps, graft.streaming.StreamQueries)
 
   test("no duplicate query keys across modules (a collision would " +
     "silently drop an operator from the gate)") {
@@ -60,10 +60,11 @@ class SparkEntrySpec extends AnyFunSuite {
     // each entry here carries an executing schema spec: CorpusOpsSpec
     // for dup_clusters, GraphOpsSpec for the two component variants,
     // AnnRecallSpec for the IVF pair (eager because centroid training
-    // is a collect)
+    // is a collect), StreamIngestSpec for sessionize_stream (eager
+    // because construction runs a streaming query to completion)
     assert(eager.sorted ==
       Seq("ann_ivf_recall", "ann_ivf_topk", "dup_clusters",
-        "graph_cc_components", "graph_cc_logstar"),
+        "graph_cc_components", "graph_cc_logstar", "sessionize_stream"),
       s"new eager query needs its own executing schema spec: $eager")
   }
 }

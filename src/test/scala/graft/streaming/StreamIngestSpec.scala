@@ -321,7 +321,7 @@ class StreamIngestSpec extends SparkSpec {
     // batch truth: built-in session_window with the same gap. The
     // streaming side emits EXACTLY the sessions the final watermark
     // (AvailableNow runs a no-data batch with watermark = max event
-    // time - delay) proves closed: last event + gap <= watermark.
+    // time - delay) proves closed: last event + gap < watermark.
     val batch = ev
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("w"))
@@ -332,11 +332,13 @@ class StreamIngestSpec extends SparkSpec {
     val finalWatermarkMs = ev.agg(max(col("ts")).cast("long") * 1000)
       .head.getLong(0) - 60 * 1000
     val closed = batch
-      // closed ⟺ last event + gap <= watermark, and sess_end IS
-      // last event + gap — asserting sess_end here is what pins the
-      // two operators as drop-in interchangeable (same end, same
-      // derived durations), not just same membership
-      .filter(col("sess_end").cast("long") * 1000 <= finalWatermarkMs)
+      // closed ⟺ last event + gap STRICTLY below the watermark (a row
+      // at exactly the watermark is admissible and would merge at
+      // exactly sess_end), and sess_end IS last event + gap — asserting
+      // sess_end here is what pins the two operators as drop-in
+      // interchangeable (same end, same derived durations), not just
+      // same membership
+      .filter(col("sess_end").cast("long") * 1000 < finalWatermarkMs)
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
         r.getTimestamp(2).getTime, r.getLong(3)))
@@ -348,21 +350,50 @@ class StreamIngestSpec extends SparkSpec {
         (closed -- streamed).take(3)}")
   }
 
+  test("sessionize_stream gate query: executing schema pin, no pinned " +
+    "cache, and row-for-row equality with its oracle-green batch twin") {
+    // Q.eager contract: eager queries are exempt from the analysis-only
+    // sweeps, so schema + cache hygiene pin HERE (like AnnRecallSpec
+    // does for the IVF pair).
+    spark.catalog.clearCache()
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.SparkEntry.queries("sessionize_stream")(spark, sf)
+    assert(streamed.columns.toSeq ==
+      Seq("user_id", "sess_start", "sess_end", "n_events"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "sessionize_stream left a cached plan pinned")
+    val batch = graft.SparkEntry
+      .queries("sessionize_closed_batch")(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).sortBy(t => (t._1, t._2))
+      .toSeq
+    val s1 = canon(streamed)
+    val s2 = canon(batch)
+    assert(s1.nonEmpty, "no closed sessions at sf0.001")
+    assert(s1 == s2, s"streaming gate diverged from batch twin: " +
+      s"only-stream=${(s1.toSet -- s2.toSet).take(3)} " +
+      s"only-batch=${(s2.toSet -- s1.toSet).take(3)}")
+  }
+
   test("mergeSessions: late points extend backwards and BRIDGE " +
-    "adjacent sessions; exact-gap boundary stays separate") {
+    "adjacent sessions; exact-gap boundary MERGES (builtin semantics)") {
     val gap = 30L * 60 * 1000
     def m(h: Int, min: Int) = (h * 60L + min) * 60 * 1000
     // bridge: a 10:31 point melds (10:00-10:10) and (11:00-11:10)
-    // (10:30 would NOT — 10:30+gap lands exactly on 11:00, and the
-    // half-open window excludes it, as the boundary case below pins)
     val bridged = StreamIngest.mergeSessions(
       Seq((m(10, 0), m(10, 10), 2L), (m(11, 0), m(11, 10), 2L)),
       Seq(m(10, 31)), gap)
     assert(bridged == Seq((m(10, 0), m(11, 10), 5L)), bridged)
-    // strict boundary: exactly gap apart does NOT merge (session_window
-    // windows are half-open [t, t+gap))
-    val apart = StreamIngest.mergeSessions(Nil,
+    // closed boundary: exactly gap apart DOES merge — the builtin
+    // session_window merges this pair (SessionBoundarySpec pins it on
+    // the engine), so the custom merge must too
+    val boundary = StreamIngest.mergeSessions(Nil,
       Seq(m(10, 0), m(10, 30)), gap)
+    assert(boundary == Seq((m(10, 0), m(10, 30), 2L)), boundary)
+    // one millisecond past the gap stays separate
+    val apart = StreamIngest.mergeSessions(Nil,
+      Seq(m(10, 0), m(10, 30) + 1), gap)
     assert(apart.size == 2, apart)
     // late point EARLIER than every session, beyond gap: own session
     val early = StreamIngest.mergeSessions(
