@@ -1,0 +1,107 @@
+package graft.models
+
+import java.nio.file.Paths
+import graft.ops.{Q, QueryModule}
+
+/** The whole reference pipeline as ONE gate row. The operator inventory
+  * is fully gated query-by-query, but until round 6 the S1→M4 PATH —
+  * gzipped-TSV ingest → staging null-key filters → the composite-key
+  * flow fan-out → the trace mart — proved itself only in ScalaTest
+  * fixtures. This query runs the blockchair-shaped fixture TSVs
+  * (graft.Fixtures: the reference's DDL schemas, >2^31 sats totals,
+  * coinbase rows, N×M fan-out, null keys, gzip) through
+  * `Pipeline.readRaw` → `Models.*` and returns the trace mart; the
+  * oracle re-implements the SAME dbt DAG in DuckDB SQL over the SAME
+  * TSV files (read_csv), so ingest parsing, staging drops, join
+  * semantics, and unit conversions are all under the hash gate at once.
+  *
+  * `trace_sequence` is excluded from the readout: the mart orders it by
+  * tx_time alone, and every edge of a transaction shares its block's
+  * time, so the rank among a transaction's edges is tie-broken
+  * engine-arbitrarily — correct in both engines, hashable in neither.
+  *
+  * The fixture directory is a FIXED path because the oracle SQL is a
+  * static string evaluated by a separate DuckDB process: both sides
+  * must name the same files. Writing the fixtures is driver-side file
+  * IO (no Spark jobs), so the query stays lazy under the analysis-only
+  * sweeps; the sf dir argument is deliberately unused — this gate is
+  * about the pipeline, not the synthetic tables.
+  */
+object PipelineQueries extends QueryModule {
+
+  private val fixtureDir = "/tmp/graft_e2e_fixture"
+
+  def all: Seq[Q] = Seq(
+    Q("pipeline_e2e_trace_mart",
+      (s, _) => {
+        graft.Fixtures.writeAll(Paths.get(fixtureDir))
+        Pipeline.readRaw(s, fixtureDir)
+          .fctTransactionTraces.drop("trace_sequence")
+      },
+      Some(s"""WITH blocks_raw AS (
+          SELECT * FROM read_csv(
+            '$fixtureDir/blockchair_bitcoin_blocks_20250820.tsv.gz',
+            delim=E'\\t', header=true,
+            types={'id':'BIGINT','time':'TIMESTAMP',
+                   'cdd_total':'DOUBLE','reward':'BIGINT'})),
+        tx_raw AS (
+          SELECT * FROM read_csv(
+            '$fixtureDir/blockchair_bitcoin_transactions_20250820.tsv',
+            delim=E'\\t', header=true,
+            types={'block_id':'BIGINT','hash':'VARCHAR',
+                   'fee':'BIGINT','fee_usd':'DOUBLE'})),
+        inputs_raw AS (
+          SELECT * FROM read_csv(
+            '$fixtureDir/blockchair_bitcoin_inputs_20250820.tsv',
+            delim=E'\\t', header=true,
+            types={'block_id':'BIGINT','transaction_hash':'VARCHAR',
+                   'value':'BIGINT','value_usd':'DOUBLE',
+                   'recipient':'VARCHAR','is_from_coinbase':'BIGINT',
+                   'cdd':'DOUBLE'})),
+        outputs_raw AS (
+          SELECT * FROM read_csv(
+            '$fixtureDir/blockchair_bitcoin_outputs_20250820.tsv',
+            delim=E'\\t', header=true,
+            types={'block_id':'BIGINT','transaction_hash':'VARCHAR',
+                   'recipient':'VARCHAR'})),
+        stg_blocks AS (
+          SELECT id AS block_id, time AS block_time,
+            cdd_total AS block_cdd_days,
+            CAST(reward AS DOUBLE) / CAST(100000000 AS DOUBLE)
+              AS block_reward_btc
+          FROM blocks_raw WHERE id IS NOT NULL),
+        stg_tx AS (
+          SELECT block_id, hash AS transaction_hash, fee AS fee_sats,
+            CAST(fee AS DOUBLE) / CAST(100000000 AS DOUBLE) AS fee_btc,
+            fee_usd
+          FROM tx_raw WHERE hash IS NOT NULL),
+        stg_inputs AS (
+          SELECT transaction_hash, block_id,
+            recipient AS input_address,
+            value AS input_value_sats,
+            CAST(value AS DOUBLE) / CAST(100000000 AS DOUBLE)
+              AS input_value_btc,
+            value_usd AS input_value_usd,
+            cdd AS input_cdd_days,
+            is_from_coinbase
+          FROM inputs_raw WHERE transaction_hash IS NOT NULL),
+        stg_outputs AS (
+          SELECT transaction_hash, block_id, recipient AS output_address
+          FROM outputs_raw WHERE transaction_hash IS NOT NULL)
+        SELECT i.input_address AS source_address,
+          o.output_address AS destination_address,
+          t.transaction_hash, t.block_id,
+          b.block_time AS tx_time,
+          i.input_value_sats AS transferred_value_sats,
+          i.input_value_btc AS transferred_value_btc,
+          i.input_value_usd AS transferred_value_usd,
+          t.fee_sats, t.fee_btc, t.fee_usd,
+          CASE WHEN i.is_from_coinbase = 1 THEN 'coinbase'
+               ELSE 'standard' END AS tx_type,
+          i.input_cdd_days, b.block_cdd_days, b.block_reward_btc
+        FROM stg_tx t
+        LEFT JOIN stg_blocks b USING (block_id)
+        LEFT JOIN stg_inputs i USING (transaction_hash, block_id)
+        LEFT JOIN stg_outputs o USING (transaction_hash, block_id)"""))
+  )
+}

@@ -9,7 +9,8 @@ class SparkEntrySpec extends AnyFunSuite {
   private val modules: Seq[QueryModule] =
     Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
       Extensions, PortableHashOps, ClassicQueries, ClassicQueries2,
-      RecallOps, CorpusOps, GraphOps, graft.streaming.StreamQueries)
+      RecallOps, CorpusOps, GraphOps, graft.streaming.StreamQueries,
+      graft.models.PipelineQueries)
 
   test("no duplicate query keys across modules (a collision would " +
     "silently drop an operator from the gate)") {

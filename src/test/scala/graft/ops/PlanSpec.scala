@@ -290,6 +290,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p.take(1500))
   }
 
+  test("pipeline e2e: the block dimension rides as a broadcast through " +
+    "the whole ingest->mart lineage") {
+    val p = plan("pipeline_e2e_trace_mart")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("x8: set ops collapse to ONE orders scan and ONE aggregate " +
     "(not 4 scans + 2 shuffle-dedups)") {
     val p = plan("x8_set_ops")
