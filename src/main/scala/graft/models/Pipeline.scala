@@ -116,8 +116,7 @@ object Pipeline {
       val dated = df.withColumn("load_date",
         coalesce(date_format(col(timeCol), "yyyyMMdd"), lit("00000000")))
         .cache()
-      val sc = df.sparkSession.sparkContext
-      var orphanIds = Set.empty[Int]
+      var orphanRelease: () => Unit = () => ()
       try {
       val sentinelPath = new org.apache.hadoop.fs.Path(
         s"$outDir/$name/load_date=00000000")
@@ -126,21 +125,20 @@ object Pipeline {
       // Snapshot the stored sentinel rows whose transaction no longer
       // exists ANYWHERE in this build (vanished: raw dumps aged past
       // retention — the sentinel holds their only copy) BEFORE the
-      // write: when this build carries its own sentinel rows the dynamic
-      // overwrite replaces the stored partition, so an after-the-fact
-      // read would see this build's rows, not the history. Materialized
-      // eagerly because the writes below replace the very files this
-      // plan reads; the sentinel is small by construction, and the
-      // checkpoint blocks are released in the finally.
+      // write: the dynamic overwrite below may replace the stored
+      // partition, so an after-the-fact read would see this build's
+      // rows, not the history. Materialized eagerly because the write
+      // replaces the very files this plan reads; the sentinel is small
+      // by construction, and the checkpoint blocks are released in the
+      // finally.
       val orphanRows =
         if (!fs.exists(sentinelPath)) None
         else {
-          val before = sc.getPersistentRDDs.keySet.toSet
-          val o = df.sparkSession.read.parquet(sentinelPath.toString)
-            .join(dated.select(col("transaction_hash")).distinct(),
-              Seq("transaction_hash"), "left_anti")
-            .localCheckpoint(true)
-          orphanIds = sc.getPersistentRDDs.keySet.toSet -- before
+          val (o, ids) = graft.util.Checkpoints.ckptTracked(
+            df.sparkSession.read.parquet(sentinelPath.toString)
+              .join(dated.select(col("transaction_hash")).distinct(),
+                Seq("transaction_hash"), "left_anti"))
+          orphanRelease = () => graft.util.Checkpoints.release(o, ids)
           Some(o)
         }
       // The sentinel partition is ALWAYS in scope (a restricted rewrite
@@ -167,45 +165,37 @@ object Pipeline {
         dated.filter(
           col("load_date").isin((ds ++ dests :+ "00000000").distinct: _*))
       }
-      scoped
+      // Fold the orphan snapshot INTO the written data (under the
+      // sentinel date) instead of appending it after the write: the
+      // sentinel invariant — post-run content = this build's sentinel
+      // rows ∪ stored VANISHED rows, with re-dated rows gone — then
+      // lands in the SAME dynamic-overwrite commit as the rest of the
+      // build. A post-write append would open a crash window where the
+      // overwrite has destroyed the stored partition (the vanished
+      // rows' only durable copy) and the append never ran; the old
+      // all-or-nothing cleanup instead duplicated re-dated rows
+      // whenever vanished and re-dated transactions shared a sentinel.
+      val withOrphans = orphanRows.filter(o => !o.isEmpty)
+        .fold(scoped)(o =>
+          scoped.unionByName(o.withColumn("load_date", lit("00000000"))))
+      withOrphans
         .repartition(cluster.map(col): _*)
         .sortWithinPartitions(cluster.map(col): _*)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("load_date").parquet(s"$outDir/$name")
-      // Reconcile the sentinel partition AFTER the write. The invariant:
-      // post-run sentinel content = this build's sentinel rows ∪ stored
-      // VANISHED rows (transactions absent from the whole build — their
-      // only copy lives here). Re-dated rows (present in the build under
-      // a real date, which the scope widening above just rewrote) must
-      // LEAVE the sentinel, or they exist twice on read. The old
-      // all-or-nothing cleanup ("keep the partition if ANY stored tx
-      // vanished") duplicated re-dated rows whenever vanished and
-      // re-dated transactions shared one stored sentinel.
-      orphanRows.foreach { o =>
-        val buildHasSentinel =
-          !scoped.filter(col("load_date") === "00000000").isEmpty
-        val hasOrphans = !o.isEmpty
-        if (buildHasSentinel) {
-          // dynamic overwrite just replaced the partition with this
-          // build's sentinel rows; vanished history rides alongside
-          if (hasOrphans) o.write.mode("append")
-            .parquet(sentinelPath.toString)
-        } else if (hasOrphans) {
-          // mixed case: drop the re-dated rows, keep only the vanished
-          // ones (the checkpoint above means this does not read the
-          // files it replaces)
-          o.write.mode("overwrite").parquet(sentinelPath.toString)
-        } else {
-          // every stored tx was re-dated into a real partition: the
-          // whole sentinel is stale
-          fs.delete(sentinelPath, true)
-        }
+      // The one case the write cannot express: every stored sentinel tx
+      // re-dated into a real partition and the build has no new
+      // blockless rows — the written data then contains no sentinel
+      // partition, dynamic overwrite leaves the stale one in place, and
+      // its rows would read back as duplicates of the re-dated copies.
+      if (fs.exists(sentinelPath) &&
+          withOrphans.filter(col("load_date") === "00000000").isEmpty) {
+        fs.delete(sentinelPath, true)
       }
       } finally {
         dated.unpersist()
-        orphanIds.foreach(id => sc.getPersistentRDDs.get(id)
-          .foreach(_.unpersist(blocking = false)))
+        orphanRelease()
       }
     }
     writeInc(bld.intTransactionFlows, "int_transaction_flows", "tx_time",

@@ -20,16 +20,23 @@ import graft.ops.{Q, QueryModule}
   * time, so the rank among a transaction's edges is tie-broken
   * engine-arbitrarily — correct in both engines, hashable in neither.
   *
-  * The fixture directory is a FIXED path because the oracle SQL is a
-  * static string evaluated by a separate DuckDB process: both sides
-  * must name the same files. Writing the fixtures is driver-side file
-  * IO (no Spark jobs), so the query stays lazy under the analysis-only
+  * The fixture directory is one fixed path PER PROCESS: the oracle SQL
+  * must embed the literal path (it is evaluated later by a separate
+  * DuckDB process reading the oracle_sql.json this process dumped), so
+  * it cannot be per-invocation — but a globally fixed name would let
+  * two concurrent gate processes truncate each other's TSVs mid-read,
+  * and collide across OS users. The pid suffix gives each process its
+  * own stable dir while the dumped SQL stays consistent with the files
+  * the same process wrote. Writing the fixtures is driver-side file IO
+  * (no Spark jobs), so the query stays lazy under the analysis-only
   * sweeps; the sf dir argument is deliberately unused — this gate is
   * about the pipeline, not the synthetic tables.
   */
 object PipelineQueries extends QueryModule {
 
-  private val fixtureDir = "/tmp/graft_e2e_fixture"
+  private val fixtureDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_e2e_fixture_${
+      ProcessHandle.current().pid()}"
 
   def all: Seq[Q] = Seq(
     Q("pipeline_e2e_trace_mart",

@@ -55,17 +55,27 @@ object CorpusOps extends QueryModule {
     Q("dup_clusters",
       (s, d) => {
         val (rawPairs, releaseDocs) = TextOps.jaccardPairsWithRelease(s, d)
+        // Materialize the (small) pair list ONCE, then drop every
+        // corpus-sized input BEFORE the loop: ccLogStar references its
+        // edge input from several subtrees (canon + the node universe),
+        // so handing it the raw jaccard lineage would re-run the
+        // inverted-index join per reference, and the corpus docs cache
+        // must not stay pinned through O(log n) rounds that only touch
+        // the edge list. The checkpoint blocks are edge-list-sized and
+        // explicitly released once the (checkpointed) result exists.
+        val (pairs, pairIds) = graft.util.Checkpoints.ckptTracked(
+          rawPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        releaseDocs()
         try {
-          // ccLogStar's first checkpoint materializes the pair list
-          // (the one pass that touches the corpus); every round after
-          // that sees only the shrinking edge list.
-          val cc = GraphOps.ccLogStar(rawPairs.select(
-            col("doc_a").as("src"), col("doc_b").as("dst")))
+          val cc = GraphOps.ccLogStar(pairs)
           cc.select(col("node").as("doc_id"),
             col("component_id").as("cluster_id"),
             col("component_size").as("cluster_size"),
             (col("node") === col("component_id")).as("is_canonical"))
-        } finally releaseDocs()
+        } finally {
+          releaseDocs() // idempotent failure backstop
+          graft.util.Checkpoints.release(pairs, pairIds)
+        }
       },
       Some(s"""WITH RECURSIVE
             pairs AS (SELECT doc_a, doc_b

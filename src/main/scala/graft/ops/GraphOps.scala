@@ -159,15 +159,11 @@ object GraphOps extends QueryModule {
     // each round tracks the persistent-RDD ids it created and releases
     // the previous round's explicitly — at scale, waiting for the GC +
     // ContextCleaner to notice dropped snapshots lets full-edge-set
-    // blocks pile up across tens of rounds.
-    val sc = edges.sparkSession.sparkContext
-    def ckptTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def release(ids: Set[Int]): Unit = ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // blocks pile up across tens of rounds. (Shared helper:
+    // graft.util.Checkpoints — the incremental build and corpus staging
+    // use the same pattern.)
+    import graft.util.Checkpoints.{ckptTracked, release}
+    def releaseIds(ids: Set[Int]): Unit = release(edges, ids)
     var (cur, curIds) = ckptTracked(canon(edges))
     try {
       var rounds = 0
@@ -180,7 +176,7 @@ object GraphOps extends QueryModule {
         // exactly twice iff the sets are equal
         done = cur.unionByName(next).groupBy("src", "dst").count()
           .filter(col("count") =!= 2).isEmpty
-        release(curIds)
+        releaseIds(curIds)
         cur = next; curIds = nextIds
         rounds += 1
       }
@@ -198,7 +194,7 @@ object GraphOps extends QueryModule {
         .select(col("node"), col("component_id"), col("component_size"))
         .localCheckpoint(true) // materialized before finally releases
     } finally {
-      release(curIds)
+      releaseIds(curIds)
     }
   }
 

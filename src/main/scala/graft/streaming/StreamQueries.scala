@@ -103,11 +103,16 @@ object StreamQueries extends QueryModule {
     Q("sessionize_stream",
       (s, d) => {
         // Stage the (truncated) events as ONE parquet file in a
-        // per-(sf) staging dir: one file → one micro-batch → the run is
-        // deterministic, and parquet keeps timestamp values exact where
-        // a CSV round-trip would re-parse them.
+        // per-(process, sf) staging dir: one file → one micro-batch →
+        // the run is deterministic, and parquet keeps timestamp values
+        // exact where a CSV round-trip would re-parse them. The pid
+        // component keeps two concurrent gate processes from
+        // overwriting each other's staged file mid-stream; floorMod
+        // (not abs, which is still negative at Int.MinValue) keeps the
+        // name clean.
         val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-          s"graft_stream_gate_${math.abs(d.hashCode)}").toString
+          s"graft_stream_gate_${ProcessHandle.current().pid()}_${
+            math.floorMod(d.hashCode, 1000000)}").toString
         truncatedEvents(s, d).coalesce(1)
           .write.mode("overwrite").parquet(stage)
         val src = s.readStream
