@@ -629,6 +629,62 @@ object Extensions extends QueryModule {
                 COALESCE(u_name, c_name) AS merged_name,
                 COALESCE(u_bal, c_acctbal) AS merged_bal
               FROM customer FULL OUTER JOIN changes
-                ON c_custkey = u_key"""))
+                ON c_custkey = u_key""")),
+
+    // ---- AS-OF join: for each click, the same user's most recent
+    //      purchase at-or-before it. Spark has no ASOF operator; the
+    //      naive formulation is an inequality join (quadratic per user,
+    //      then an argmax). The SCALE shape is the union+window
+    //      composition: tag both sides, union them, and take the last
+    //      non-null right payload over a (key, time)-ordered running
+    //      window — ONE sort-shuffle on the key, zero joins, linear in
+    //      rows. Right rows sort BEFORE left rows at equal times
+    //      (is_left tiebreak) to realize the <= as-of bound; the right
+    //      side is pre-deduplicated to one row per (key, time) (max
+    //      event_id) so tie resolution is engine-independent. The
+    //      oracle is DuckDB's NATIVE ASOF LEFT JOIN — two entirely
+    //      different evaluation strategies, one relation.
+    Q("x28_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("k"), col("ts").as("t"),
+            col("event_id").as("click_id"), lit(1).as("is_left"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("k"), col("ts").as("t"))
+          .agg(max(col("event_id")).as("purchase_id"))
+          .withColumn("is_left", lit(0))
+        val tagged = clicks
+          .withColumn("purchase_id", lit(null).cast("long"))
+          .unionByName(purchases
+            .withColumn("click_id", lit(null).cast("long")))
+        val w = Window.partitionBy("k").orderBy(col("t"), col("is_left"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("asof_purchase_id",
+            last(col("purchase_id"), ignoreNulls = true).over(w))
+          .withColumn("asof_purchase_ts",
+            last(when(col("is_left") === 0, col("t")),
+              ignoreNulls = true).over(w))
+          .filter(col("is_left") === 1)
+          .select(col("click_id"), col("k").as("user_id"),
+            col("t").as("click_ts"),
+            col("asof_purchase_id").as("purchase_id"),
+            col("asof_purchase_ts").as("purchase_ts"))
+      },
+      Some("""WITH clicks AS (
+                SELECT event_id AS click_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS click_ts
+                FROM events WHERE event_type = 'click'),
+              purchases AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+                  MAX(event_id) AS purchase_id
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2)
+              SELECT c.click_id, c.user_id, c.click_ts,
+                p.purchase_id, p.purchase_ts
+              FROM clicks c ASOF LEFT JOIN purchases p
+                ON c.user_id = p.user_id
+                AND p.purchase_ts <= c.click_ts"""))
   )
 }

@@ -296,6 +296,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("x28: the as-of join is realized as union + running window — " +
+    "ZERO join operators in the plan") {
+    val p = plan("x28_asof_join")
+    assert(!p.contains("Join"), "as-of must not plan as a join:\n" +
+      p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
   test("x8: set ops collapse to ONE orders scan and ONE aggregate " +
     "(not 4 scans + 2 shuffle-dedups)") {
     val p = plan("x8_set_ops")
