@@ -637,16 +637,25 @@ object Extensions extends QueryModule {
     //      then an argmax). The SCALE shape is the union+window
     //      composition: tag both sides, union them, and take the last
     //      non-null right payload over a (key, time)-ordered running
-    //      window — ONE sort-shuffle on the key, zero joins, linear in
-    //      rows. Right rows sort BEFORE left rows at equal times
-    //      (is_left tiebreak) to realize the <= as-of bound; the right
-    //      side is pre-deduplicated to one row per (key, time) (max
-    //      event_id) so tie resolution is engine-independent. The
-    //      oracle is DuckDB's NATIVE ASOF LEFT JOIN — two entirely
-    //      different evaluation strategies, one relation.
+    //      window — TWO exchanges total (the right-side dedup aggregate
+    //      on (key, time), then the window's sort-shuffle on the key),
+    //      zero joins, linear in rows. Right rows sort BEFORE left rows
+    //      at equal times (is_left tiebreak) to realize the <= as-of
+    //      bound; the right side is pre-deduplicated to one row per
+    //      (key, time) (max event_id) so tie resolution is
+    //      engine-independent, and BOTH payload columns ride in one
+    //      struct through a SINGLE window pass so they always come from
+    //      the same matched row. NULL keys/times are filtered on both
+    //      engines: ASOF's equality/inequality predicates never match
+    //      NULL, while Spark's window would group NULL keys together —
+    //      the explicit filter makes the null contract identical
+    //      instead of fixture-accidental. The oracle is DuckDB's NATIVE
+    //      ASOF LEFT JOIN — two entirely different evaluation
+    //      strategies, one relation.
     Q("x28_asof_join",
       (s, d) => {
         val ev = events(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id").as("k"), col("ts").as("t"),
             col("event_id").as("click_id"), lit(1).as("is_left"))
@@ -661,25 +670,28 @@ object Extensions extends QueryModule {
         val w = Window.partitionBy("k").orderBy(col("t"), col("is_left"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         tagged
-          .withColumn("asof_purchase_id",
-            last(col("purchase_id"), ignoreNulls = true).over(w))
-          .withColumn("asof_purchase_ts",
-            last(when(col("is_left") === 0, col("t")),
-              ignoreNulls = true).over(w))
+          .withColumn("asof", last(
+            when(col("is_left") === 0,
+              struct(col("purchase_id"), col("t"))),
+            ignoreNulls = true).over(w))
           .filter(col("is_left") === 1)
           .select(col("click_id"), col("k").as("user_id"),
             col("t").as("click_ts"),
-            col("asof_purchase_id").as("purchase_id"),
-            col("asof_purchase_ts").as("purchase_ts"))
+            col("asof.purchase_id").as("purchase_id"),
+            col("asof.t").as("purchase_ts"))
       },
       Some("""WITH clicks AS (
                 SELECT event_id AS click_id, user_id,
                   CAST(ts AS TIMESTAMP) AS click_ts
-                FROM events WHERE event_type = 'click'),
+                FROM events
+                WHERE event_type = 'click'
+                  AND user_id IS NOT NULL AND ts IS NOT NULL),
               purchases AS (
                 SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
                   MAX(event_id) AS purchase_id
-                FROM events WHERE event_type = 'purchase'
+                FROM events
+                WHERE event_type = 'purchase'
+                  AND user_id IS NOT NULL AND ts IS NOT NULL
                 GROUP BY 1, 2)
               SELECT c.click_id, c.user_id, c.click_ts,
                 p.purchase_id, p.purchase_ts

@@ -297,11 +297,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x28: the as-of join is realized as union + running window — " +
-    "ZERO join operators in the plan") {
+    "ZERO joins, ONE window pass, exactly TWO exchanges") {
     val p = plan("x28_asof_join")
     assert(!p.contains("Join"), "as-of must not plan as a join:\n" +
       p.take(1500))
-    assert(p.contains("Window"), p.take(1500))
+    // one struct-valued last() → CollapseWindow keeps a single Window
+    // operator (two separate withColumn windows would plan as two full
+    // passes over every partition)
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows == 1, s"expected 1 window pass, saw $windows\n" +
+      p.take(1500))
+    // the dedup aggregate on (k, t) plus the window's key shuffle — the
+    // documented shuffle budget; a third exchange means a regression
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, saw $exchanges\n" +
+      p.take(1500))
   }
 
   test("x8: set ops collapse to ONE orders scan and ONE aggregate " +
