@@ -49,7 +49,8 @@ object Bench {
     * stay short enough to survive the driver's stdout-tail window) while
     * total/failed always cover everything. */
   def renderJson(results: Map[String, Timing], sf: String,
-      names: Option[Seq[String]]): String = {
+      names: Option[Seq[String]],
+      loadAvg: (Double, Double) = (-1.0, -1.0)): String = {
     val sel = names.fold(results.toSeq.sortBy(_._1))(ns =>
       ns.flatMap(n => results.get(n).map(n -> _)))
     val qs = sel.map { case (k, t) => "\"" + k + "\":" + num(t.secs) }
@@ -59,16 +60,29 @@ object Bench {
     // Self-diagnosing noise marker: queries whose run-to-run spread
     // exceeded NOISE_SPREAD (their min is still reported, but a reader
     // comparing rounds knows not to trust this entry as steady-state).
-    val noisy = results.toSeq
+    // Scoped to `sel` like queries/spread: on a badly loaded host the
+    // full-set list can be 100+ names, and the short stdout line must
+    // stay inside the driver's stdout-tail window (the complete list is
+    // always in bench_result.json, where names = None).
+    val noisy = sel
       .filter { case (_, t) => !t.failed && t.spread > NOISE_SPREAD }
       .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val spreads = sel.map { case (k, t) => "\"" + k + "\":" + num(t.spread) }
       .mkString("{", ",", "}")
     val total = results.values.collect { case t if !t.failed => t.secs }.sum
+    // 1-minute system load average at measurement start/end (-1.0 where
+    // the JVM cannot provide one): lets an artifact reader adjudicate
+    // host noise without a re-run.
+    val load = s""""load_avg":{"start":${num(loadAvg._1)},""" +
+      s""""end":${num(loadAvg._2)}}"""
     s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"failed":$failed,"noise_suspect":$noisy,""" +
-      s""""spread":$spreads,"sf":"$sf"}"""
+      s""""spread":$spreads,$load,"sf":"$sf"}"""
   }
+
+  def systemLoad(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,12 +107,14 @@ object Bench {
     // read 2× high on an unchanged query set when both runs landed on a
     // loaded host); with three, one clean run suffices and the spread
     // field flags the entries where even the min may be suspect.
+    val loadStart = systemLoad()
     val results = measure(
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
       },
       runs = 3,
       reset = () => spark.catalog.clearCache())
+    val loadAvg = (loadStart, systemLoad())
     // r1+r2 driver runs both recorded parsed:null: the full per-query JSON
     // line is ~4.5 KB, so its START falls outside the driver's stdout-tail
     // window and the line never parses. The stdout line therefore carries
@@ -116,8 +132,8 @@ object Bench {
     require(headline.forall(results.contains),
       s"headline names missing from registry: ${
         headline.filterNot(results.contains).mkString(", ")}")
-    val shortJson = renderJson(results, sfDir, Some(headline))
-    val fullJson = renderJson(results, sfDir, None)
+    val shortJson = renderJson(results, sfDir, Some(headline), loadAvg)
+    val fullJson = renderJson(results, sfDir, None, loadAvg)
     println(shortJson)
     spark.stop()
     java.nio.file.Files.write(

@@ -41,6 +41,11 @@ object PipelineQueries extends QueryModule {
   def all: Seq[Q] = Seq(
     Q("pipeline_e2e_trace_mart",
       (s, _) => {
+        // The fixture TSVs MUST outlive this JVM (the dumped oracle SQL
+        // is read by the driver's separate DuckDB process after Verify
+        // exits), so no delete-on-exit here; instead reclaim dirs left
+        // by prior, now-dead gate processes.
+        graft.util.TempDirs.cleanStale("graft_e2e_fixture_")
         graft.Fixtures.writeAll(Paths.get(fixtureDir))
         Pipeline.readRaw(s, fixtureDir)
           .fctTransactionTraces.drop("trace_sequence")

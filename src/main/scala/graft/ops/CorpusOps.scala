@@ -63,10 +63,18 @@ object CorpusOps extends QueryModule {
         // must not stay pinned through O(log n) rounds that only touch
         // the edge list. The checkpoint blocks are edge-list-sized and
         // explicitly released once the (checkpointed) result exists.
-        val (pairs, pairIds) = graft.util.Checkpoints.ckptTracked(
-          rawPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        releaseDocs()
+        // The checkpoint materialization itself runs the jaccard join,
+        // so it sits INSIDE the try: if a task fails mid-materialization
+        // the finally still releases the corpus-sized docs cache and any
+        // partially created checkpoint blocks (pairs stays null until
+        // ckptTracked returns; the release is null-guarded).
+        var pairs: org.apache.spark.sql.DataFrame = null
+        var pairIds: Set[Int] = Set.empty
         try {
+          val cp = graft.util.Checkpoints.ckptTracked(
+            rawPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          pairs = cp._1; pairIds = cp._2
+          releaseDocs()
           val cc = GraphOps.ccLogStar(pairs)
           cc.select(col("node").as("doc_id"),
             col("component_id").as("cluster_id"),
@@ -74,7 +82,7 @@ object CorpusOps extends QueryModule {
             (col("node") === col("component_id")).as("is_canonical"))
         } finally {
           releaseDocs() // idempotent failure backstop
-          graft.util.Checkpoints.release(pairs, pairIds)
+          if (pairs != null) graft.util.Checkpoints.release(pairs, pairIds)
         }
       },
       Some(s"""WITH RECURSIVE

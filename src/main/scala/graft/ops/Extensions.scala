@@ -529,6 +529,17 @@ object Extensions extends QueryModule {
     //      The right side is deduplicated to one click per (user, ts)
     //      (arg-max event_id) so tie resolution is deterministic and
     //      matches DuckDB's ASOF semantics on a unique time axis.
+    //
+    //      NOTE for readers picking an as-of shape to copy: prefer
+    //      `x28_asof_join` below — same linear union+window family, but
+    //      with ONE window pass carrying a struct payload (this query
+    //      runs two `last(..)` windows over the same frame), an EXPLICIT
+    //      isNotNull key/time contract (here it is fixture-accidental),
+    //      and an oracle that is DuckDB's native ASOF JOIN rather than a
+    //      hand-rolled re-implementation. The two differ in direction
+    //      and fixture (x4: purchase → latest click; x28: click →
+    //      latest purchase), so both stay gated — but new code should
+    //      copy x28's shape.
     Q("x4_asof_join",
       (s, d) => {
         val ev = events(s, d)

