@@ -39,10 +39,11 @@ object GraphOps extends QueryModule {
     * a ring inside each block of 5, so edges NEVER cross blocks — the
     * per-block membership is a test-able invariant of the components. */
   def blockRingEdges(s: SparkSession, d: String): DataFrame =
-    events(s, d).select(
-      ((col("user_id") % 200) * 5 + col("event_id") % 5).as("src"),
-      ((col("user_id") % 200) * 5 + (col("event_id") + 1) % 5).as("dst"))
-      .distinct()
+    graft.util.PlanMemo.memo("block_ring_edges", s, d)(
+      events(s, d).select(
+        ((col("user_id") % 200) * 5 + col("event_id") % 5).as("src"),
+        ((col("user_id") % 200) * 5 + (col("event_id") + 1) % 5).as("dst"))
+        .distinct())
 
   /** Weighted directed transfer graph on the SAME 50-node domain as the
     * trace edge set (TraceOps.edgeSet) — one graph, several analyses.
@@ -52,10 +53,11 @@ object GraphOps extends QueryModule {
     * strand the second hop). Weights are exact decimal value sums so
     * flow ratios are engine-portable. */
   def transferEdges(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .groupBy((col("user_id") % 50).as("src"),
-        (col("event_id") % 50).as("dst"))
-      .agg(sum(dec(col("value"))).as("w"))
+    graft.util.PlanMemo.memo("transfer_edges", s, d)(
+      events(s, d)
+        .groupBy((col("user_id") % 50).as("src"),
+          (col("event_id") % 50).as("dst"))
+        .agg(sum(dec(col("value"))).as("w")))
 
   /** Connected components by min-label propagation over an undirected
     * edge list. Convergence-driven round count → EAGER (same contract
@@ -198,12 +200,26 @@ object GraphOps extends QueryModule {
     }
   }
 
-  /** Simplified PageRank (no dangling-mass redistribution — dropped
-    * mass is identical on both engines, so the oracle still matches),
-    * damping 0.85, `iters` fixed iterations unrolled into ONE lazy
-    * plan. */
+  /** Full PageRank with dangling-mass redistribution, damping 0.85,
+    * `iters` fixed iterations unrolled into ONE lazy plan: per
+    * iteration, pr = 0.15/n + 0.85·(insum + dangling_mass/n), where
+    * dangling_mass is the previous ranks of nodes with no out-edges.
+    * The dangling sum is a one-row broadcast aggregate (anti-join
+    * against the out-degree set) cast through DECIMAL(28,12) — like the
+    * contribution sums — so it is accumulation-order-independent and
+    * engine-portable.
+    *
+    * The edge list excludes sources in a fixed sink set (node % 10 = 9;
+    * those nodes still appear as destinations), so the graph has
+    * STRUCTURAL sinks at every scale and the redistribution term is
+    * genuinely exercised by the hash gate — on the raw mod-50 edge set
+    * every residue occurs as a source and a zero dangling term would be
+    * vacuously "correct". PageRankMassSpec pins conservation:
+    * Σpr stays ≈ 1, which fails without redistribution (the 5 sinks
+    * leak ~8.5% of total mass per iteration). */
   def pagerank(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val e = TraceOps.edgeSet(s, d) // distinct (src,dst), bounded domain
+    val e = TraceOps.edgeSet(s, d) // memoized distinct (src,dst)
+      .filter(col("src") % 10 =!= 9) // structural sinks: ..9 never emit
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
     val ewd = e.join(broadcast(deg), "src")
     val nodes = e.select(col("src").as("node"))
@@ -217,21 +233,28 @@ object GraphOps extends QueryModule {
           (col("pr") / col("od")).cast(DecimalType(28, 12)).as("c"))
       val insum = contrib.groupBy("dst")
         .agg(sum(col("c")).cast("double").as("insum"))
-      pr = nodes.crossJoin(broadcast(n))
+      val dangling = pr.join(deg, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast(DecimalType(28, 12)))
+          .cast("double"), lit(0.0)).as("dm"))
+      pr = nodes.crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
         .join(insum, col("node") === col("dst"), "left")
         .select(col("node"),
           round(lit(0.15) / col("n_nodes") +
-            lit(0.85) * coalesce(col("insum"), lit(0.0)), 12).as("pr"))
+            lit(0.85) * (coalesce(col("insum"), lit(0.0)) +
+              col("dm") / col("n_nodes")), 12).as("pr"))
     }
     pr.orderBy("node")
   }
 
   /** DuckDB twin of [[pagerank]]: the same fixed iterations unrolled as
-    * chained CTEs with the identical decimal-rounded contribution sum. */
+    * chained CTEs with the identical decimal-rounded contribution and
+    * dangling-mass sums. */
   private def pagerankSql(iters: Int): String = {
     val base = s"""WITH edges AS (
-        SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
-        FROM events),
+        SELECT src, dst FROM (
+          SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
+          FROM events)
+        WHERE src % 10 <> 9),
       deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
       nodes AS (SELECT src AS node FROM edges
                 UNION SELECT dst FROM edges),
@@ -240,12 +263,18 @@ object GraphOps extends QueryModule {
               FROM nodes CROSS JOIN n)"""
     val iterCtes = (1 to iters).map { i =>
       s""",
+      d$i AS (
+        SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(28,12)))
+            AS DOUBLE), CAST(0.0 AS DOUBLE)) AS dm
+        FROM pr${i - 1} p
+        WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = p.node)),
       pr$i AS (
         SELECT nodes.node,
           ROUND(CAST(0.15 AS DOUBLE) / n.n_nodes +
             CAST(0.85 AS DOUBLE) *
-            COALESCE(s$i.insum, CAST(0.0 AS DOUBLE)), 12) AS pr
-        FROM nodes CROSS JOIN n
+            (COALESCE(s$i.insum, CAST(0.0 AS DOUBLE)) +
+             d$i.dm / n.n_nodes), 12) AS pr
+        FROM nodes CROSS JOIN n CROSS JOIN d$i
         LEFT JOIN (
           SELECT e.dst,
             CAST(SUM(CAST(p.pr / d.od AS DECIMAL(28,12))) AS DOUBLE)
@@ -369,8 +398,9 @@ object GraphOps extends QueryModule {
       eager = true),
 
     // ---- Structural importance: 3-iteration PageRank over the trace
-    //      edge set — one lazy plan, per-iteration decimal-exact
-    //      contribution sums.
+    //      edge set (minus the structural sink sources) — one lazy
+    //      plan, per-iteration decimal-exact contribution sums and
+    //      dangling-mass redistribution.
     Q("graph_pagerank",
       (s, d) => pagerank(s, d, iters = 3),
       Some(pagerankSql(iters = 3))),

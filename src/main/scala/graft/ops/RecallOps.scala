@@ -47,36 +47,16 @@ object RecallOps extends QueryModule {
   /** The exact twins are the expensive side of every gate (brute-force
     * top-k is the one labeled-quadratic operator), and two gates share
     * the same twin — computed naively, the gate suite triples the most
-    * expensive work in the whole query set. Memoize per
-    * (session, sfDir, twin): the stored plan is a LAZY localCheckpoint,
-    * so constructing a gate stays analysis-only (no eager flag needed,
-    * the analysis sweeps still see a plain plan) while the first ACTION
-    * materializes the twin once and every later gate re-run reuses the
-    * checkpointed blocks. Checkpoint RDDs never register with the
-    * cacheManager, so the cache-hygiene pins (AnnRecallSpec) hold; the
-    * pinned blocks are top-k-sized (queries × k rows / the near-dup pair
-    * list), bounded regardless of corpus scale.
-    *
-    * Stopped-session eviction: a JVM that creates and stops many
-    * sessions (test runners, long-lived services) must not accumulate
-    * references to dead sessions and their plans — a stopped session's
-    * entry is unusable, so every access first drops entries whose
-    * context has stopped. (A WeakHashMap would not work: the DataFrame
-    * value strongly references its session, pinning the weak key.)
-    * Bench note: the memo deliberately survives Bench's per-run
-    * clearCache reset, so the recall gates bench at memo-warm cost
-    * after run 1 — that IS the operator's steady-state cost in a
-    * long-lived session, and BENCH_NOTES records the round-6 baseline
-    * shift. */
-  private val exactTwinMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
-
+    * expensive work in the whole query set. Memoized via
+    * [[graft.util.PlanMemo]] (lazy localCheckpoint per (session, sfDir,
+    * twin); see its Scaladoc for the lifecycle contract): constructing a
+    * gate stays analysis-only while the first ACTION materializes the
+    * twin once and every later gate re-run reuses the checkpointed
+    * blocks. The pinned blocks are top-k-sized (queries × k rows / the
+    * near-dup pair list), bounded regardless of corpus scale. */
   private def memoExact(name: String, s: SparkSession, d: String)(
-      build: => DataFrame): DataFrame = {
-    exactTwinMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    exactTwinMemo.computeIfAbsent((s, d, name),
-      _ => build.localCheckpoint(false))
-  }
+      build: => DataFrame): DataFrame =
+    graft.util.PlanMemo.memo(name, s, d)(build)
 
   def all: Seq[Q] = Seq(
 

@@ -34,11 +34,20 @@ object TraceOps extends QueryModule {
   /** Synthetic homogeneous graph from the events table: node ids are
     * residues mod 50 so the edge set is bounded (≤2500 distinct edges)
     * regardless of scale factor — the traversal cost scales with the scan
-    * + distinct, not with path blowup. */
+    * + distinct, not with path blowup.
+    *
+    * Memoized (graft.util.PlanMemo, lazy localCheckpoint): FOUR queries
+    * share this derivation (j5, j6, j9's domain twin, graph_pagerank —
+    * which references it once per unrolled iteration subtree), so after
+    * the first action the suite scans a ≤2500-row checkpoint instead of
+    * re-running the events scan + distinct each time. Bounded by the
+    * residue domain, session-scoped, never cacheManager-registered
+    * (TraceSpec's empty-registry pin holds). */
   def edgeSet(s: SparkSession, d: String): DataFrame =
-    events(s, d).select(
-      (col("user_id") % 50).as("src"),
-      (col("event_id") % 50).as("dst")).distinct()
+    graft.util.PlanMemo.memo("trace_edge_set", s, d)(
+      events(s, d).select(
+        (col("user_id") % 50).as("src"),
+        (col("event_id") % 50).as("dst")).distinct())
 
   /** Bounded multi-hop trace: anchor = edges from `source`; step joins the
     * frontier's dst to edges' src. UNION ALL accumulation → per-(hop,edge)

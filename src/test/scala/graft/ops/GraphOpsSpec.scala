@@ -174,19 +174,50 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == brute, s"spark=$got brute=$brute")
   }
 
-  test("lazy graph queries stay lazy: the returned plan is declarative " +
-    "(no materialized RDD scan), and no cache is pinned") {
-    // (job-count assertions are too blunt here: parquet footer/schema
-    // reads legitimately run tiny jobs at analysis time)
-    for (n <- Seq("graph_pagerank", "graph_taint_haircut",
-        "graph_triangles", "graph_degree_hubs")) {
-      val df = graft.SparkEntry.queries(n)(spark, sf)
-      val logical = df.queryExecution.logical.toString
-      assert(!logical.contains("LogicalRDD"),
-        s"$n returned a checkpointed/materialized plan")
-      assert(!logical.contains("InMemoryRelation"), s"$n pinned a cache")
+  test("lazy graph queries stay lazy: construction schedules no jobs " +
+    "and no cache is pinned") {
+    // Since round 7 the shared edge inputs are PlanMemo'd lazy
+    // localCheckpoints, so a LogicalRDD leaf in the plan is the DESIGN
+    // (one bounded checkpoint shared across the suite), not an eager
+    // materialization — the laziness contract is pinned directly
+    // instead: constructing the query must schedule zero Spark jobs
+    // (the memo defers its checkpoint to the first action), and nothing
+    // may register with the SQL cacheManager.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
     }
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "a lazy graph query left a cached plan pinned")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (n <- Seq("graph_pagerank", "graph_taint_haircut",
+          "graph_triangles", "graph_degree_hubs")) {
+        jobs.set(0)
+        val df = graft.SparkEntry.queries(n)(spark, sf)
+        val logical = df.queryExecution.logical.toString
+        // The listener bus is async (and private): run one sentinel job
+        // and wait for its event — the bus is FIFO, so once the
+        // sentinel arrived, any construction-time job event has too.
+        // (A raw RDD count is exactly ONE job; a SQL count under AQE
+        // schedules two.)
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (jobs.get() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        // Zero-job construction is asserted only for the MEMO-fed
+        // queries (their warm path never touches the source): queries
+        // that read events directly may run a benign parquet
+        // footer/schema job at analysis time (the pre-round-7 comment's
+        // caveat, observed for graph_triangles).
+        if (Set("graph_pagerank", "graph_taint_haircut")(n))
+          assert(jobs.get() == 1,
+            s"$n scheduled ${jobs.get() - 1} jobs during construction")
+        assert(!logical.contains("InMemoryRelation"), s"$n pinned a cache")
+      }
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "a lazy graph query left a cached plan pinned")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
