@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, and a partition-batched
   * decode / feature-extract stage.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — but everything
-  * Spark-side is real and tested: the binary column schema, the typed
-  * mapPartitions batch shape (the Scala analog of mapInPandas: one
-  * iterator per partition, amortizing per-batch decoder init), partition
-  * sizing, and the downstream feature schema.
+  * The metadata half of the decode is REAL since round 7: payloads whose
+  * bytes carry a PNG/JPEG/GIF container header get their dimensions
+  * parsed by [[MediaCodec]] (pure JVM — IHDR / SOF walk / screen
+  * descriptor). Only the pixel/feature kernel remains a clearly-marked
+  * DETERMINISTIC STUB (`decodeStub` — the container has no imaging
+  * libs); the Spark-side plumbing is real and tested throughout: the
+  * binary column schema, the typed mapPartitions batch shape (the Scala
+  * analog of mapInPandas: one iterator per partition, amortizing
+  * per-batch decoder init), partition sizing, and the downstream
+  * feature schema.
   *
   * Scale: decode is embarrassingly parallel per partition; the expensive
   * decoder handle is created once per partition, not per row — the exact
@@ -24,6 +28,7 @@ object MediaPipeline {
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long,
+      format: String,
       media_bytes: Int,
       width: Int,
       height: Int,
@@ -51,15 +56,24 @@ object MediaPipeline {
   }
 
   /** The decode stage: typed mapPartitions — per-partition decoder init,
-    * then a pure iterator map (no per-row setup, no collect). */
+    * then a pure iterator map (no per-row setup, no collect). Payloads
+    * with a recognized container header (PNG/JPEG/GIF) get REAL decoded
+    * dimensions; anything else falls back to the deterministic stub
+    * with format "unknown". The feature vector always comes from the
+    * stub fold — honest, since no pixel decode happens either way. */
   def decode(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition: init the (stub) decoder once
-      val decoder = decodeStub _
+      // per-partition: init the (stub) feature kernel once
+      val featureKernel = decodeStub _
       rows.map { r =>
-        val (w, hgt, frames, feat) = decoder(r.payload)
-        MediaFeatures(r.doc_id, r.payload.length, w, hgt, frames, feat)
+        val (sw, sh, frames, feat) = featureKernel(r.payload)
+        MediaCodec.parseDims(r.payload) match {
+          case Some(d) => MediaFeatures(r.doc_id, d.format,
+            r.payload.length, d.width, d.height, 1, feat)
+          case None => MediaFeatures(r.doc_id, "unknown",
+            r.payload.length, sw, sh, frames, feat)
+        }
       }
     }
   }

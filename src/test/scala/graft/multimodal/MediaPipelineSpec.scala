@@ -33,6 +33,22 @@ class MediaPipelineSpec extends SparkSpec {
     assert(rows(3L).n_frames == again(3L).n_frames)
   }
 
+  test("decode uses real header dims for media payloads, stub otherwise") {
+    import spark.implicits._
+    val mixed = Seq(
+      MediaPipeline.MediaRow(10L, MediaCodec.pngBytes(320, 200, Array[Byte](1, 2))),
+      MediaPipeline.MediaRow(11L, MediaCodec.jpegBytes(640, 480, Array.emptyByteArray)),
+      MediaPipeline.MediaRow(12L, "not media".getBytes("UTF-8"))).toDF()
+    val rows = MediaPipeline.decode(spark, mixed)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(rows(10L).format == "png" && rows(10L).width == 320 &&
+      rows(10L).height == 200 && rows(10L).media_bytes == 35)
+    assert(rows(11L).format == "jpeg" && rows(11L).width == 640 &&
+      rows(11L).height == 480)
+    assert(rows(12L).format == "unknown") // stub fallback keeps working
+    assert(rows.values.forall(_.feature.length == 8))
+  }
+
   test("frame sampling emits every-k indices bounded by n_frames") {
     val features = MediaPipeline.decode(spark,
       MediaPipeline.withPayload(docs))
