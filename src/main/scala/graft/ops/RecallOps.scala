@@ -60,16 +60,17 @@ object RecallOps extends QueryModule {
 
   def all: Seq[Q] = Seq(
 
-    // Multi-table LSH vs brute-force cosine top-10. 8 tables × 6 bits on
-    // weakly-correlated 64-dim vectors probes ~10% of the corpus; theory
-    // puts neighbor collision near 0.2–0.3 — the gate pins "well above
-    // the probed fraction", i.e. the index concentrates true neighbors.
+    // Multi-table LSH vs brute-force cosine top-10. 20 tables × 6 bits
+    // on weakly-correlated 64-dim vectors probes ~28% of this fixture;
+    // measured recall 0.68/0.70 at sf0.01/sf0.1 (graft.LshSweep grid) —
+    // the 0.5 floor pins "the index concentrates true neighbors well
+    // above the probed fraction" with margin, per VERDICT r6 item 6.
     Q("ann_lsh_recall",
       (s, d) => recallRow(
         memoExact("ann_cosine_topk", s, d)(
           VectorOps.queries("ann_cosine_topk")(s, d)),
         VectorOps.queries("ann_lsh_topk")(s, d),
-        annKeys, threshold = 0.15),
+        annKeys, threshold = 0.5),
       None),
 
     // IVF (nprobe=2 of 10 label-seeded cells) vs brute-force top-10.

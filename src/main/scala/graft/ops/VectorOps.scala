@@ -70,19 +70,23 @@ object VectorOps extends QueryModule {
     * almost never collides true neighbors of weakly-correlated vectors
     * (p_agree^8 ≈ 0); the standard fix is several narrower tables — a
     * candidate matches if it shares ANY table's bucket. */
-  private val numTables = 8
-  private val bitsPerTable = 6
-  private val numPlanes = numTables * bitsPerTable
+  private[ops] val numTables = 20
+  private[ops] val bitsPerTable = 6
   private val dims = 64
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 fold of
     * (plane, dim)), materialized as literal weight vectors so each
     * projection is one codegen'd dot product instead of a nested
-    * interpreted fold. */
-  private[ops] val planes: Seq[Seq[Double]] =
-    (0 until numPlanes).map(p => (0 until dims).map(i =>
+    * interpreted fold. Plane p is a pure function of (p, dim), so a
+    * config with more tables extends the family instead of reshuffling
+    * the planes the earlier tables used. */
+  private def planesFor(n: Int): Seq[Seq[Double]] =
+    (0 until n).map(p => (0 until dims).map(i =>
       (math.floorMod(graft.functions.SplitMix.mix(p.toLong * dims + i),
         1000L) / 1000.0) - 0.5))
+
+  private[ops] val planes: Seq[Seq[Double]] =
+    planesFor(numTables * bitsPerTable)
 
   /** Random-hyperplane sign bucket of an array<double> vector (first 8
     * planes — used for determinism tests and single-table demos). */
@@ -92,15 +96,73 @@ object VectorOps extends QueryModule {
     }.reduce(_ + _)
 
   /** (table, bucket) pairs for the multi-table index: table t hashes with
-    * planes [t*b, (t+1)*b). */
-  def lshTableBuckets(v: Column): Column =
-    array((0 until numTables).map { t =>
-      val bucket = (0 until bitsPerTable).map { j =>
-        when(dot(v, typedLit(planes(t * bitsPerTable + j))) > 0.0,
+    * planes [t*b, (t+1)*b). The default geometry is measured, not
+    * guessed: the fixture's true top-10 neighbors sit at cos 0.24–0.42
+    * (sign-agreement p = 1 − θ/π ≈ 0.59–0.64 per bit), so a 6-bit table
+    * collides a true neighbor with p⁶ ≈ 0.05 and L tables give recall
+    * ≈ 1 − (1 − p⁶)^L. `graft.LshSweep` measures the grid at both test
+    * scales (recall at sf0.01/sf0.1, candidate fraction ~equal at both):
+    * 8×6 (round-6 config) 0.26/0.34 probing ~13%; 16×6 0.50/0.64
+    * probing ~24%; 20×6 0.68/0.70 probing ~28%; 16×7 0.28/0.36 at ~13%.
+    * 20×6 is the smallest config clearing the ≥0.5 gate floor WITH
+    * margin at both scales. The ~28% candidate fraction is a property
+    * of this nearly-unclustered fixture (neighbors barely above the
+    * ambient cosine); on a clustered real corpus the same geometry
+    * probes far less because p⁶ separates much harder at cos ≥ 0.7. */
+  def lshTableBuckets(v: Column, tables: Int = numTables,
+      bits: Int = bitsPerTable): Column = {
+    val ps = if (tables * bits <= planes.length) planes
+      else planesFor(tables * bits)
+    array((0 until tables).map { t =>
+      val bucket = (0 until bits).map { j =>
+        when(dot(v, typedLit(ps(t * bits + j))) > 0.0,
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("t"), bucket.as("b"))
     }: _*)
+  }
+
+  /** Distinct LSH candidate pairs (query_id, vec_id, vectors, norms) for
+    * a given geometry — the sub-linear core of [[lshTopK]], exposed so
+    * `graft.LshSweep` can measure candidate fraction per config through
+    * the production code path. */
+  private[graft] def lshCandidates(s: SparkSession, d: String,
+      tables: Int = numTables, bits: Int = bitsPerTable): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("tb", lshTableBuckets(col("v"), tables, bits))
+      .cache()
+    val cands = e.select(col("vec_id"), col("v"), col("norm"),
+      explode(col("tb")).as("tb1"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb1.t").as("t"), col("tb1.b").as("b"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), explode(col("tb")).as("tb1"))
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        col("tb1.t").as("t"), col("tb1.b").as("b"))
+    cands.join(broadcast(qs), Seq("t", "b"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
+        col("qnorm"), col("norm"))
+      .dropDuplicates("query_id", "vec_id")
+  }
+
+  /** The LSH top-k body, parameterized by geometry so `graft.LshSweep`
+    * can measure configs through the production code path. */
+  private[graft] def lshTopK(s: SparkSession, d: String,
+      tables: Int = numTables, bits: Int = bitsPerTable): DataFrame = {
+    val scored = lshCandidates(s, d, tables, bits)
+      .select(col("query_id"), col("vec_id"),
+        round(cosineWithNorms(col("qv"), col("v"), col("qnorm"),
+          col("norm")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("query_id", "vec_id", "cos_sim", "rn")
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -181,37 +243,7 @@ object VectorOps extends QueryModule {
     //      candidate is scored iff it shares at least one table's bucket
     //      with the query. Sub-linear scale path for ann_cosine_topk.
     //      Rows-only check (plane weights are engine-local).
-    Q("ann_lsh_topk",
-      (s, d) => {
-        val e = embeddings(s, d)
-          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-          .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-          .withColumn("tb", lshTableBuckets(col("v")))
-          .cache()
-        val cands = e.select(col("vec_id"), col("v"), col("norm"),
-          explode(col("tb")).as("tb1"))
-          .select(col("vec_id"), col("v"), col("norm"),
-            col("tb1.t").as("t"), col("tb1.b").as("b"))
-        val qs = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("norm").as("qnorm"), explode(col("tb")).as("tb1"))
-          .select(col("query_id"), col("qv"), col("qnorm"),
-            col("tb1.t").as("t"), col("tb1.b").as("b"))
-        val pairs = cands.join(broadcast(qs), Seq("t", "b"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
-            col("qnorm"), col("norm"))
-          .dropDuplicates("query_id", "vec_id")
-        val scored = pairs.select(col("query_id"), col("vec_id"),
-          round(cosineWithNorms(col("qv"), col("v"), col("qnorm"),
-            col("norm")), 6).as("cos_sim"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 10)
-          .select("query_id", "vec_id", "cos_sim", "rn")
-      },
-      None),
+    Q("ann_lsh_topk", (s, d) => lshTopK(s, d), None),
 
     // ---- Multimodal columns: opaque binary payload + typed metadata.
     //      The payload here is the utf-8 text bytes (the container has no

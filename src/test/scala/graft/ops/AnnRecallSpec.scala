@@ -51,8 +51,10 @@ class AnnRecallSpec extends SparkSpec {
       truth.intersect(lsh.getOrElse(q, Set.empty)).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
-    // 8 tables × 6 bits on weakly-correlated 64-dim vectors: theory puts
-    // neighbor collision around 0.2-0.3 while probing ~10% of the corpus.
-    assert(mean >= 0.15, s"LSH mean recall too low: $mean")
+    // 20 tables × 6 bits, chosen from the measured graft.LshSweep grid:
+    // recall 0.68 (sf0.01) / 0.70 (sf0.1) probing ~28% of this
+    // nearly-unclustered fixture — the smallest config clearing the
+    // 0.5 gate floor with margin at both scales.
+    assert(mean >= 0.5, s"LSH mean recall too low: $mean")
   }
 }
