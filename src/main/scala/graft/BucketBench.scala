@@ -59,9 +59,7 @@ object BucketBench {
     // join keys — subset bucketing would still exchange.
     spark.sql("DROP TABLE IF EXISTS bench_lineitem_bkt")
     val t0 = System.nanoTime()
-    sources.Bucketing.writeBucketed(
-      Tables.lineitem(spark, d)
-        .repartition(buckets, col("l_orderkey"), col("l_linenumber")),
+    sources.Bucketing.writeBucketed(Tables.lineitem(spark, d),
       "bench_lineitem_bkt", Seq("l_orderkey", "l_linenumber"), buckets,
       Seq("l_orderkey", "l_linenumber"))
     println(f"BUCKETBENCH write_bucketed time=${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -78,16 +78,9 @@ object Pipeline {
         .sortWithinPartitions(cluster.map(col): _*)
         .write.mode("overwrite").parquet(s"$outDir/$name")
     def writeBkt(df: DataFrame, name: String, n: Int, bucketCol: String,
-        sortCols: Seq[String]): Unit = {
-      val table = s"${tablePrefix}_$name"
-      df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-      df.repartition(n, col(bucketCol))
-        .write.mode("overwrite")
-        .bucketBy(n, bucketCol)
-        .sortBy(sortCols.head, sortCols.tail: _*)
-        .option("path", s"$outDir/$name")
-        .format("parquet").saveAsTable(table)
-    }
+        sortCols: Seq[String]): Unit =
+      graft.sources.Bucketing.writeBucketed(df, s"${tablePrefix}_$name",
+        Seq(bucketCol), n, sortCols, path = Some(s"$outDir/$name"))
     // cluster_by keys from the model configs:
     buckets match {
       case Some(n) =>

@@ -217,6 +217,19 @@ object GraphOps extends QueryModule {
     * vacuously "correct". PageRankMassSpec pins conservation:
     * Σpr stays ≈ 1, which fails without redistribution (the 5 sinks
     * leak ~8.5% of total mass per iteration). */
+  /** Iterations per lazy unroll segment: each iteration references the
+    * previous ranks TWICE (contribution join + dangling aggregate), so
+    * the unrolled logical plan doubles per iteration — fine for the
+    * gate's 3 iterations (~8 shared subtrees, ReuseExchange dedupes the
+    * shuffles), geometric for a caller's iters=20. Every `prBarrier`-th
+    * iteration therefore materializes the ranks as a localCheckpoint —
+    * the standard Spark iterative-algorithm barrier — bounding any
+    * segment at 2^4 subtrees. The gate path (iters=3) never reaches a
+    * barrier, so its zero-job construction pin (GraphOpsSpec) holds;
+    * barrier'd intermediates are reclaimed by the ContextCleaner when
+    * the next barrier drops the reference. */
+  private val prBarrier = 4
+
   def pagerank(s: SparkSession, d: String, iters: Int): DataFrame = {
     val e = TraceOps.edgeSet(s, d) // memoized distinct (src,dst)
       .filter(col("src") % 10 =!= 9) // structural sinks: ..9 never emit
@@ -224,16 +237,20 @@ object GraphOps extends QueryModule {
     val ewd = e.join(broadcast(deg), "src")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // the dangling set is STATIC (nodes with no out-edges) — derived
+    // once here, not re-derived from scratch inside every iteration
+    val dangNodes = nodes.join(deg, col("node") === col("src"), "left_anti")
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var pr = nodes.crossJoin(broadcast(n))
       .select(col("node"), round(lit(1.0) / col("n_nodes"), 12).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = pr.join(ewd, col("node") === col("src"))
         .select(col("dst"),
           (col("pr") / col("od")).cast(DecimalType(28, 12)).as("c"))
       val insum = contrib.groupBy("dst")
         .agg(sum(col("c")).cast("double").as("insum"))
-      val dangling = pr.join(deg, col("node") === col("src"), "left_anti")
+      val dangling = pr.join(dangNodes.select("node"), Seq("node"),
+          "left_semi")
         .agg(coalesce(sum(col("pr").cast(DecimalType(28, 12)))
           .cast("double"), lit(0.0)).as("dm"))
       pr = nodes.crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
@@ -242,6 +259,7 @@ object GraphOps extends QueryModule {
           round(lit(0.15) / col("n_nodes") +
             lit(0.85) * (coalesce(col("insum"), lit(0.0)) +
               col("dm") / col("n_nodes")), 12).as("pr"))
+      if (i % prBarrier == 0 && i < iters) pr = pr.localCheckpoint(true)
     }
     pr.orderBy("node")
   }

@@ -55,16 +55,23 @@ object VectorOps extends QueryModule {
     * scale, so the oracle hash is unchanged there. */
   private[ops] val quadCap = 10000L
 
+  /** The keep-probability compares the FULL 60-bit hash against
+    * cap/n · 2⁶⁰ — a coarser modulus (say 1e6) would floor the sampling
+    * probability at its resolution and let the kept set grow linearly
+    * again beyond n ≈ cap·1e6, breaking the bounded-at-any-size claim.
+    * 60 bits floors at n ≈ cap·2⁶⁰ ≈ 10¹⁹ vectors — beyond any corpus. */
+  private val h60Span = math.pow(2.0, 60)
+
   private[ops] def quadGuard(vecId: Column, nVecs: Column): Column =
     nVecs <= quadCap ||
-      (PortableHashOps.h60(concat(lit("embguard:"),
-        vecId.cast("string"))) % 1000000L) <
-        lit(quadCap.toDouble) * 1000000.0 / nVecs
+      PortableHashOps.h60(concat(lit("embguard:"),
+        vecId.cast("string"))) <
+        lit(quadCap.toDouble) * h60Span / nVecs
 
   private[ops] def sqlQuadGuard(idExpr: String): String =
     s"""(n_vecs <= $quadCap OR ${PortableHashOps.sqlH60(
-      s"'embguard:' || CAST($idExpr AS VARCHAR)")} % 1000000
-        < CAST($quadCap AS DOUBLE) * 1000000.0 / n_vecs)"""
+      s"'embguard:' || CAST($idExpr AS VARCHAR)")}
+        < CAST($quadCap AS DOUBLE) * ${h60Span.toLong}.0 / n_vecs)"""
 
   /** Multi-table LSH geometry: L tables × b sign-bits. One 8-bit table
     * almost never collides true neighbors of weakly-correlated vectors

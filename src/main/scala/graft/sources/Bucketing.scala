@@ -16,15 +16,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted table — managed by default, or an
+    * external table at `path`. The single shared implementation of the
+    * bucketed-layout contract: the input is pre-repartitioned into
+    * exactly `buckets` bucket-hash partitions so each bucket lands as
+    * ONE file (the layout Spark trusts for bucket-sorted reads; a
+    * multi-file bucket forfeits the sort metadata), and when `path` is
+    * given any stale catalog entry is dropped first so reruns are
+    * idempotent. `Pipeline.writeBuild(buckets = Some(n))` and
+    * `BucketBench` both write through here. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+      buckets: Int, sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (path.isDefined) df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val sorted =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
       else w
-    sorted.format("parquet").saveAsTable(table)
+    val located = path.fold(sorted)(p => sorted.option("path", p))
+    located.format("parquet").saveAsTable(table)
   }
 
   /** Co-located equi-join over two tables bucketed on the join key:

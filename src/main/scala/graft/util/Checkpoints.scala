@@ -22,8 +22,20 @@ object Checkpoints {
   def ckptTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint(true)
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    try {
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    } catch {
+      // localCheckpoint(true) persists the RDD BEFORE running the
+      // materialization job, so a mid-job task failure (disk/OOM)
+      // leaves partial blocks pinned while the caller never receives
+      // ids to release — unpersist the diff here so the failure path
+      // leaks nothing.
+      case e: Throwable =>
+        (sc.getPersistentRDDs.keySet.toSet -- before).foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        throw e
+    }
   }
 
   def release(df: DataFrame, ids: Set[Int]): Unit = {

@@ -60,12 +60,25 @@ object TempDirs {
     } finally listing.close()
   }
 
+  /** Best-effort recursive delete: a concurrent cleaner (two gate
+    * processes with the same prefix) or an undeletable entry must not
+    * throw out of gate-query construction — the walk itself can fail
+    * with UncheckedIOException when a sibling deletes the tree under
+    * it, and each entry delete can race the same way. Whatever survives
+    * is picked up by the next cleanStale pass. */
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => { Files.deleteIfExists(f); () })
-      finally walk.close()
-      ()
+    try {
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach { f =>
+            try { Files.deleteIfExists(f); () }
+            catch { case _: java.io.IOException => () }
+          }
+        finally walk.close()
+        ()
+      }
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
     }
 }

@@ -192,6 +192,14 @@ class GraphOpsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      // Warm the shared PlanMemo entries explicitly (one bounded action)
+      // so the zero-job assertion below tests the warm path regardless
+      // of which suites ran before — cold, constructing a memo-fed
+      // query may run a benign parquet footer job at analysis time,
+      // which is not the regression this pin exists to catch.
+      graft.SparkEntry.queries("graph_pagerank")(spark, sf).limit(1).count()
+      graft.SparkEntry.queries("graph_taint_haircut")(spark, sf)
+        .limit(1).count()
       for (n <- Seq("graph_pagerank", "graph_taint_haircut",
           "graph_triangles", "graph_degree_hubs")) {
         jobs.set(0)
@@ -201,11 +209,19 @@ class GraphOpsSpec extends SparkSpec {
         // and wait for its event — the bus is FIFO, so once the
         // sentinel arrived, any construction-time job event has too.
         // (A raw RDD count is exactly ONE job; a SQL count under AQE
-        // schedules two.)
+        // schedules two.) Waiting for count>=1 alone would race: a
+        // construction-time job's own event could satisfy it before the
+        // sentinel's arrives and mask the regression — so wait until
+        // the count is STABLE (no new event for 300 ms) too.
         spark.sparkContext.parallelize(Seq(1), 1).count()
         val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
         while (jobs.get() < 1 && System.nanoTime() < deadline)
           Thread.sleep(10)
+        var last = -1
+        while (jobs.get() != last && System.nanoTime() < deadline) {
+          last = jobs.get()
+          Thread.sleep(300)
+        }
         // Zero-job construction is asserted only for the MEMO-fed
         // queries (their warm path never touches the source): queries
         // that read events directly may run a benign parquet
