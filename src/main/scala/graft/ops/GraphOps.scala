@@ -64,37 +64,51 @@ object GraphOps extends QueryModule {
     * as dup_clusters): every cache is released before returning and the
     * result is checkpointed so no plan state stays pinned. */
   def connectedComponents(symEdges: DataFrame): DataFrame = {
+    import graft.util.Checkpoints
     val edges = symEdges.cache()
     edges.count()
-    var cached = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).cache()
+    // Per-round state is a tracked localCheckpoint, NOT a cache: each
+    // round references the previous labels twice (propagation join +
+    // the union carrying `prev`), and cache() does not truncate
+    // lineage, so a cached loop doubles the logical plan per round —
+    // invisible on the diameter-2 block-ring fixture, an analyzer OOM
+    // on a near-critical graph whose diameter reaches ~20 (found by
+    // graph_cc_scale_twin's sparsified instance). The checkpoint roots
+    // every round's plan at the previous round's RDD; blocks are
+    // label-table-sized and the superseded round's are released
+    // immediately.
+    var (cur, curIds) = Checkpoints.ckptTracked(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node"))
+        .withColumn("prev", col("lab")))
     // finally-scoped release: a non-convergence require (or any mid-
     // loop failure) must not leave the edge list and label snapshot
     // pinned in a long-lived session
     try {
-      var labels = cached
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 64) {
         // one aggregate carries BOTH the new label and the previous one
         // (each node contributes exactly one non-null prev row), so the
-        // convergence check needs no second join, and the round's
-        // single count() both materializes the cache and reads the
-        // change count
+        // convergence check needs no second join; the checkpoint
+        // materialization runs the round and the change count reads
+        // the checkpointed result
+        val labels = cur.select("node", "lab")
         val prop = edges
           .join(labels.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), col("lab"),
             lit(null).cast("long").as("prev"))
-        val next = labels.withColumn("prev", col("lab")).union(prop)
-          .groupBy("node")
-          .agg(min("lab").as("lab"), max("prev").as("prev")).cache()
+        val (next, nextIds) = Checkpoints.ckptTracked(
+          labels.withColumn("prev", col("lab")).union(prop)
+            .groupBy("node")
+            .agg(min("lab").as("lab"), max("prev").as("prev")))
         changed = next.filter(col("lab") =!= col("prev")).count()
-        cached.unpersist()
-        cached = next
-        labels = next.select("node", "lab")
+        Checkpoints.release(cur, curIds)
+        cur = next; curIds = nextIds
         rounds += 1
       }
       require(changed == 0, s"components not converged after $rounds rounds")
+      val labels = cur.select("node", "lab")
       val sizes = labels.groupBy("lab")
         .agg(count(lit(1)).as("component_size"))
       labels.join(sizes, Seq("lab"))
@@ -103,7 +117,7 @@ object GraphOps extends QueryModule {
         .localCheckpoint(true) // materialized before finally releases
     } finally {
       edges.unpersist()
-      cached.unpersist()
+      Checkpoints.release(cur, curIds)
     }
   }
 
@@ -461,6 +475,55 @@ object GraphOps extends QueryModule {
               FROM und e1
               JOIN und e2 ON e2.a = e1.b
               JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""")),
+
+    // ---- Scale-proportional CC twin gate. The oracle-checked CC pair
+    //      above runs on the fixed 1000-node block-ring domain (sized
+    //      for the recursive-CTE oracle) — which means the measured
+    //      graph suite never grows with sf. This gate runs BOTH
+    //      independent CC implementations (convergence min-label loop
+    //      vs O(log n) large/small-star) on a graph whose node count
+    //      tracks the user domain (15k·sf) and whose edge count tracks
+    //      the events table, and emits its one summary row ONLY when
+    //      every node's label agrees — two algorithms with different
+    //      round structures and shuffle patterns agreeing on a
+    //      million-edge instance is a real equivalence check, the same
+    //      twin-gate shape as minhash_lsh_recall. EAGER: both bodies
+    //      are convergence loops; the shared symmetric edge list is
+    //      checkpointed once and released after both results are
+    //      materialized (each body checkpoints its own output).
+    Q("graph_cc_scale_twin",
+      (s, d) => {
+        val ev = events(s, d)
+        val nu = ev.agg((max(col("user_id")) + 1).as("nu"))
+        // keep ~2% of events as edges: edges/nodes ≈ 1.3 at EVERY sf —
+        // the near-critical G(n,m) regime, so the instance has a giant
+        // component PLUS many small ones at any scale (an all-in-one-
+        // component instance would let a broken labeling agree
+        // trivially), while still growing 10× per decade
+        val raw = ev.filter(pmod(xxhash64(col("event_id"), lit(7)),
+            lit(50)) === 0)
+          .crossJoin(broadcast(nu))
+          .select(col("user_id").as("src"),
+            pmod(xxhash64(col("event_id")), col("nu")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val (edges, ids) = graft.util.Checkpoints.ckptTracked(
+          raw.union(raw.select(col("dst"), col("src"))).toDF("src", "dst"))
+        try {
+          val a = connectedComponents(edges)
+            .select(col("node"), col("component_id").as("cid_minlabel"))
+          val b = ccLogStar(edges)
+            .select(col("node"), col("component_id").as("cid_logstar"))
+          a.join(b, Seq("node"))
+            .agg(count(lit(1)).as("n_nodes"),
+              countDistinct(col("cid_minlabel")).as("n_components"),
+              sum(when(col("cid_minlabel") =!= col("cid_logstar"), 1)
+                .otherwise(0)).as("n_disagree"))
+            .filter(col("n_disagree") === 0)
+        } finally graft.util.Checkpoints.release(edges, ids)
+      },
+      None,
+      eager = true),
 
     // ---- Hub readout (the "richest addresses" analog): top-20 sources
     //      by total outflow with fan-out, total-order tiebreak on src.

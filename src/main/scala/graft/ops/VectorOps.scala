@@ -135,11 +135,16 @@ object VectorOps extends QueryModule {
     * the production code path. */
   private[graft] def lshCandidates(s: SparkSession, d: String,
       tables: Int = numTables, bits: Int = bitsPerTable): DataFrame = {
+    // NOT cached: a construction-time cache() registers with the
+    // cacheManager before any action runs (breaking every later
+    // cache-hygiene pin in the session, order-dependently), and it buys
+    // nothing here — the query side re-derives only 5 rows behind a
+    // pushed-down vec_id filter, so the corpus-wide projection runs
+    // once either way.
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .withColumn("tb", lshTableBuckets(col("v"), tables, bits))
-      .cache()
     val cands = e.select(col("vec_id"), col("v"), col("norm"),
       explode(col("tb")).as("tb1"))
       .select(col("vec_id"), col("v"), col("norm"),

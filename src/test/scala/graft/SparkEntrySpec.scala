@@ -43,17 +43,25 @@ class SparkEntrySpec extends AnyFunSuite {
     // by their own executing specs instead (CorpusOpsSpec pins
     // dup_clusters' schema decimal-free).
     val spark = SparkSpec.session
-    val offenders = modules.flatMap(_.all).filterNot(_.eager)
-      .sortBy(_.name).flatMap { q =>
-        val decimalCols = q.fn(spark, "/root/testdata/sf0.001").schema.fields
-          .filter(_.dataType.isInstanceOf[
-            org.apache.spark.sql.types.DecimalType])
-          .map(_.name)
-        if (decimalCols.isEmpty) None
-        else Some(s"${q.name}(${decimalCols.mkString(",")})")
-      }
-    assert(offenders.isEmpty,
-      s"decimal output columns break the driver hash: $offenders")
+    // Constructing every query registers the handful of
+    // construction-time caches some bodies use for intra-query reuse;
+    // clear them after the sweep so later suites' cache-hygiene pins
+    // (CorpusOpsSpec, AnnRecallSpec, TraceCacheSpec) hold in ANY suite
+    // order — this sweep is the one place that mass-constructs without
+    // executing.
+    try {
+      val offenders = modules.flatMap(_.all).filterNot(_.eager)
+        .sortBy(_.name).flatMap { q =>
+          val decimalCols = q.fn(spark, "/root/testdata/sf0.001").schema.fields
+            .filter(_.dataType.isInstanceOf[
+              org.apache.spark.sql.types.DecimalType])
+            .map(_.name)
+          if (decimalCols.isEmpty) None
+          else Some(s"${q.name}(${decimalCols.mkString(",")})")
+        }
+      assert(offenders.isEmpty,
+        s"decimal output columns break the driver hash: $offenders")
+    } finally spark.catalog.clearCache()
   }
 
   test("eager queries stay the rare, documented exception") {
@@ -65,7 +73,8 @@ class SparkEntrySpec extends AnyFunSuite {
     // because construction runs a streaming query to completion)
     assert(eager.sorted ==
       Seq("ann_ivf_recall", "ann_ivf_topk", "dup_clusters",
-        "graph_cc_components", "graph_cc_logstar", "sessionize_stream"),
+        "graph_cc_components", "graph_cc_logstar", "graph_cc_scale_twin",
+        "sessionize_stream"),
       s"new eager query needs its own executing schema spec: $eager")
   }
 }

@@ -174,6 +174,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == brute, s"spark=$got brute=$brute")
   }
 
+  test("graph_cc_scale_twin: both CC implementations agree on the " +
+    "scale-proportional graph, one row, no cache left behind") {
+    val df = graft.SparkEntry.queries("graph_cc_scale_twin")(spark, sf)
+    assert(df.columns.toSeq == Seq("n_nodes", "n_components", "n_disagree"))
+    val rows = df.collect()
+    assert(rows.length == 1, "disagreement between the CC twins ate the row")
+    assert(rows(0).getAs[Long]("n_disagree") == 0L)
+    assert(rows(0).getAs[Long]("n_nodes") > 0L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the twin gate left a cached plan pinned")
+  }
+
   test("lazy graph queries stay lazy: construction schedules no jobs " +
     "and no cache is pinned") {
     // Since round 7 the shared edge inputs are PlanMemo'd lazy
