@@ -244,9 +244,16 @@ object GraphOps extends QueryModule {
     * the next barrier drops the reference. */
   private val prBarrier = 4
 
-  def pagerank(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val e = TraceOps.edgeSet(s, d) // memoized distinct (src,dst)
-      .filter(col("src") % 10 =!= 9) // structural sinks: ..9 never emit
+  def pagerank(s: SparkSession, d: String, iters: Int): DataFrame =
+    pagerankOn(
+      TraceOps.edgeSet(s, d) // memoized distinct (src,dst)
+        .filter(col("src") % 10 =!= 9), // structural sinks: ..9 never emit
+      iters)
+
+  /** [[pagerank]] over an arbitrary directed distinct edge list — the
+    * same lazy unrolled plan, callable on graphs that grow with scale
+    * (see `graph_pagerank_scale_mass`). */
+  def pagerankOn(e: DataFrame, iters: Int): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
     val ewd = e.join(broadcast(deg), "src")
     val nodes = e.select(col("src").as("node"))
@@ -369,6 +376,26 @@ object GraphOps extends QueryModule {
       s"\nSELECT node, taint FROM t$hops WHERE taint > 0 ORDER BY node"
   }
 
+  /** Directed sparse edge list whose node count tracks the 15k·sf user
+    * domain and whose edge count tracks events — the input for the
+    * scale-proportional gates. Keeping ~2% of events as edges puts
+    * edges/nodes ≈ 1.3 at EVERY sf: the near-critical G(n,m) regime,
+    * so the instance has a giant component PLUS many small ones at any
+    * scale (an all-in-one-component instance would let a broken CC
+    * labeling agree trivially), diameters reach ~20 (which is what
+    * exposed the min-label lineage bug), and a third of the nodes are
+    * natural sinks for the PageRank mass gate. */
+  private def scaleEdges(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val nu = ev.agg((max(col("user_id")) + 1).as("nu"))
+    ev.filter(pmod(xxhash64(col("event_id"), lit(7)), lit(50)) === 0)
+      .crossJoin(broadcast(nu))
+      .select(col("user_id").as("src"),
+        pmod(xxhash64(col("event_id")), col("nu")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- Address clustering: connected components over the undirected
@@ -476,6 +503,25 @@ object GraphOps extends QueryModule {
               JOIN und e2 ON e2.a = e1.b
               JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""")),
 
+    // ---- PageRank mass-conservation gate on the SCALE-PROPORTIONAL
+    //      graph: the oracle-checked graph_pagerank runs on the fixed
+    //      mod-50 domain (sized for its unrolled-CTE oracle), so the
+    //      dangling-redistribution term was only ever exercised on a
+    //      55-node instance. This lazy gate runs the same unrolled plan
+    //      over the directed sparse scale edges — where a third of the
+    //      nodes are natural sinks — and emits its one row ONLY when
+    //      total mass stays 1 within rounding (per-node round(·,12)
+    //      accumulates ≤ n·5e-13; the 1e-6 bound holds to n≈10⁶). A
+    //      redistribution regression leaks ~sink-share of the mass per
+    //      iteration and zeroes the row.
+    Q("graph_pagerank_scale_mass",
+      (s, d) => pagerankOn(scaleEdges(s, d), iters = 3)
+        .agg(count(lit(1)).as("n_nodes"),
+          round(sum(col("pr").cast(DecimalType(28, 12))).cast("double"),
+            6).as("total_mass"))
+        .filter(abs(col("total_mass") - 1.0) <= lit(1e-6)),
+      None),
+
     // ---- Scale-proportional CC twin gate. The oracle-checked CC pair
     //      above runs on the fixed 1000-node block-ring domain (sized
     //      for the recursive-CTE oracle) — which means the measured
@@ -493,20 +539,7 @@ object GraphOps extends QueryModule {
     //      materialized (each body checkpoints its own output).
     Q("graph_cc_scale_twin",
       (s, d) => {
-        val ev = events(s, d)
-        val nu = ev.agg((max(col("user_id")) + 1).as("nu"))
-        // keep ~2% of events as edges: edges/nodes ≈ 1.3 at EVERY sf —
-        // the near-critical G(n,m) regime, so the instance has a giant
-        // component PLUS many small ones at any scale (an all-in-one-
-        // component instance would let a broken labeling agree
-        // trivially), while still growing 10× per decade
-        val raw = ev.filter(pmod(xxhash64(col("event_id"), lit(7)),
-            lit(50)) === 0)
-          .crossJoin(broadcast(nu))
-          .select(col("user_id").as("src"),
-            pmod(xxhash64(col("event_id")), col("nu")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-          .distinct()
+        val raw = scaleEdges(s, d)
         val (edges, ids) = graft.util.Checkpoints.ckptTracked(
           raw.union(raw.select(col("dst"), col("src"))).toDF("src", "dst"))
         try {
