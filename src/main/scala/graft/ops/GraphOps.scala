@@ -65,8 +65,6 @@ object GraphOps extends QueryModule {
     * result is checkpointed so no plan state stays pinned. */
   def connectedComponents(symEdges: DataFrame): DataFrame = {
     import graft.util.Checkpoints
-    val edges = symEdges.cache()
-    edges.count()
     // Per-round state is a tracked localCheckpoint, NOT a cache: each
     // round references the previous labels twice (propagation join +
     // the union carrying `prev`), and cache() does not truncate
@@ -76,15 +74,20 @@ object GraphOps extends QueryModule {
     // graph_cc_scale_twin's sparsified instance). The checkpoint roots
     // every round's plan at the previous round's RDD; blocks are
     // label-table-sized and the superseded round's are released
-    // immediately.
-    var (cur, curIds) = Checkpoints.ckptTracked(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node"))
-        .withColumn("prev", col("lab")))
-    // finally-scoped release: a non-convergence require (or any mid-
-    // loop failure) must not leave the edge list and label snapshot
-    // pinned in a long-lived session
+    // immediately. EVERY materialization — including the edge cache
+    // count and the initial label checkpoint — sits inside the
+    // try/finally: a job failure at any point must not leave the edge
+    // cache or a label snapshot pinned in a long-lived session.
+    val edges = symEdges.cache()
+    var cur: DataFrame = null
+    var curIds: Set[Int] = Set.empty
     try {
+      edges.count()
+      val init = Checkpoints.ckptTracked(
+        edges.select(col("src").as("node")).distinct()
+          .withColumn("lab", col("node"))
+          .withColumn("prev", col("lab")))
+      cur = init._1; curIds = init._2
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 64) {
@@ -102,7 +105,13 @@ object GraphOps extends QueryModule {
           labels.withColumn("prev", col("lab")).union(prop)
             .groupBy("node")
             .agg(min("lab").as("lab"), max("prev").as("prev")))
-        changed = next.filter(col("lab") =!= col("prev")).count()
+        // the convergence read is the one action between this round's
+        // checkpoint and its adoption as `cur` — release the fresh
+        // blocks if it fails, or the finally would only see last round
+        changed =
+          try next.filter(col("lab") =!= col("prev")).count()
+          catch { case e: Throwable =>
+            Checkpoints.release(next, nextIds); throw e }
         Checkpoints.release(cur, curIds)
         cur = next; curIds = nextIds
         rounds += 1
@@ -117,7 +126,7 @@ object GraphOps extends QueryModule {
         .localCheckpoint(true) // materialized before finally releases
     } finally {
       edges.unpersist()
-      Checkpoints.release(cur, curIds)
+      if (cur != null) Checkpoints.release(cur, curIds)
     }
   }
 
@@ -189,9 +198,13 @@ object GraphOps extends QueryModule {
           ckptTracked(canon(smallStar(largeStar(cur))))
         // exact convergence in ONE action, no hash collisions: both
         // sets are distinct, so every pair in (cur ∪ next) appears
-        // exactly twice iff the sets are equal
-        done = cur.unionByName(next).groupBy("src", "dst").count()
-          .filter(col("count") =!= 2).isEmpty
+        // exactly twice iff the sets are equal; release the fresh
+        // round's blocks if the read fails (the finally only tracks
+        // the adopted round)
+        done =
+          try cur.unionByName(next).groupBy("src", "dst").count()
+            .filter(col("count") =!= 2).isEmpty
+          catch { case e: Throwable => releaseIds(nextIds); throw e }
         releaseIds(curIds)
         cur = next; curIds = nextIds
         rounds += 1
@@ -248,14 +261,27 @@ object GraphOps extends QueryModule {
     pagerankOn(
       TraceOps.edgeSet(s, d) // memoized distinct (src,dst)
         .filter(col("src") % 10 =!= 9), // structural sinks: ..9 never emit
-      iters)
+      iters,
+      // the fixed residue-domain graph has ≤55 nodes — broadcasting its
+      // degree table is always right
+      broadcastDeg = true)
 
   /** [[pagerank]] over an arbitrary directed distinct edge list — the
-    * same lazy unrolled plan, callable on graphs that grow with scale
-    * (see `graph_pagerank_scale_mass`). */
-  def pagerankOn(e: DataFrame, iters: Int): DataFrame = {
+    * same unrolled plan, callable on graphs that grow with scale (see
+    * `graph_pagerank_scale_mass`). Contract fine print:
+    *  - construction is LAZY only for `iters <= prBarrier` (the
+    *    registered gates use 3); beyond that each barrier runs its
+    *    segment's jobs at construction — callers registering a bigger
+    *    iters as a Q must mark it eager.
+    *  - `broadcastDeg` force-broadcasts the out-degree table; leave it
+    *    false for node-proportional graphs (the degree table grows
+    *    with the node count and a forced broadcast would hit the
+    *    broadcast limit exactly at the scales worth measuring) and let
+    *    the planner pick from stats. */
+  def pagerankOn(e: DataFrame, iters: Int,
+      broadcastDeg: Boolean = false): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val ewd = e.join(broadcast(deg), "src")
+    val ewd = e.join(if (broadcastDeg) broadcast(deg) else deg, "src")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // the dangling set is STATIC (nodes with no out-edges) — derived
@@ -264,6 +290,11 @@ object GraphOps extends QueryModule {
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var pr = nodes.crossJoin(broadcast(n))
       .select(col("node"), round(lit(1.0) / col("n_nodes"), 12).as("pr"))
+    // each barrier releases the PREVIOUS barrier's tracked blocks (the
+    // new checkpoint's data no longer needs them); the final barrier's
+    // blocks back the returned plan and are reclaimed by the
+    // ContextCleaner when the caller drops the result
+    var barrier: Option[(DataFrame, Set[Int])] = None
     for (i <- 1 to iters) {
       val contrib = pr.join(ewd, col("node") === col("src"))
         .select(col("dst"),
@@ -280,7 +311,13 @@ object GraphOps extends QueryModule {
           round(lit(0.15) / col("n_nodes") +
             lit(0.85) * (coalesce(col("insum"), lit(0.0)) +
               col("dm") / col("n_nodes")), 12).as("pr"))
-      if (i % prBarrier == 0 && i < iters) pr = pr.localCheckpoint(true)
+      if (i % prBarrier == 0 && i < iters) {
+        val t = graft.util.Checkpoints.ckptTracked(pr)
+        barrier.foreach { case (df, ids) =>
+          graft.util.Checkpoints.release(df, ids) }
+        barrier = Some(t)
+        pr = t._1
+      }
     }
     pr.orderBy("node")
   }
@@ -385,16 +422,22 @@ object GraphOps extends QueryModule {
     * labeling agree trivially), diameters reach ~20 (which is what
     * exposed the min-label lineage bug), and a third of the nodes are
     * natural sinks for the PageRank mass gate. */
-  private def scaleEdges(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-    val nu = ev.agg((max(col("user_id")) + 1).as("nu"))
-    ev.filter(pmod(xxhash64(col("event_id"), lit(7)), lit(50)) === 0)
-      .crossJoin(broadcast(nu))
-      .select(col("user_id").as("src"),
-        pmod(xxhash64(col("event_id")), col("nu")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-  }
+  private def scaleEdges(s: SparkSession, d: String): DataFrame =
+    // PlanMemo'd like every other shared graph input (edgeSet,
+    // blockRingEdges): two registered gates consume it — and the
+    // pagerank plan embeds it once per iteration subtree — so after
+    // the first action everything scans one bounded checkpoint (~2% of
+    // events) instead of re-running the scan + max-aggregate + distinct
+    graft.util.PlanMemo.memo("scale_edges", s, d) {
+      val ev = events(s, d)
+      val nu = ev.agg((max(col("user_id")) + 1).as("nu"))
+      ev.filter(pmod(xxhash64(col("event_id"), lit(7)), lit(50)) === 0)
+        .crossJoin(broadcast(nu))
+        .select(col("user_id").as("src"),
+          pmod(xxhash64(col("event_id")), col("nu")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
 
   def all: Seq[Q] = Seq(
 

@@ -59,7 +59,7 @@ object VectorOps extends QueryModule {
     * cap/n · 2⁶⁰ — a coarser modulus (say 1e6) would floor the sampling
     * probability at its resolution and let the kept set grow linearly
     * again beyond n ≈ cap·1e6, breaking the bounded-at-any-size claim.
-    * 60 bits floors at n ≈ cap·2⁶⁰ ≈ 10¹⁹ vectors — beyond any corpus. */
+    * 60 bits floors at n ≈ cap·2⁶⁰ ≈ 10²² vectors — beyond any corpus. */
   private val h60Span = math.pow(2.0, 60)
 
   private[ops] def quadGuard(vecId: Column, nVecs: Column): Column =
