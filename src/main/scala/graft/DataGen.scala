@@ -120,7 +120,19 @@ object DataGen {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, sf, outDir)
+    spark.stop()
+  }
+
+  /** Generate all tables at `sf` under `outDir`. `slices` overrides the
+    * range parallelism — output content is IDENTICAL for any value
+    * (every row derives only from its id), which is what makes the
+    * generated scales regenerable byte-for-value; DataGenSpec pins it. */
+  def generate(spark: SparkSession, sf: Double, outDir: String,
+      slices: Option[Int] = None): Unit = {
     import spark.implicits._
+    def range(n: Long) =
+      slices.fold(spark.range(n))(k => spark.range(0, n, 1, k))
 
     val nCustomers = (150000 * sf).toLong
     val nSuppliers = (10000 * sf).toLong
@@ -141,27 +153,27 @@ object DataGen {
     save((0 until 25).map(i => (i, s"NATION_$i", i % 5))
       .toDF("n_nationkey", "n_name", "n_regionkey"), "nation")
 
-    save(spark.range(nCustomers).mapPartitions(_.map { id =>
+    save(range(nCustomers).mapPartitions(_.map { id =>
       val s = new Stream(1, id)
       Customer(id, f"Customer#$id%09d", s.int(25),
         math.rint(s.uniform(-1000, 10000) * 100) / 100,
         segments(s.int(5)))
     }).toDF(), "customer")
 
-    save(spark.range(nSuppliers).mapPartitions(_.map { id =>
+    save(range(nSuppliers).mapPartitions(_.map { id =>
       val s = new Stream(2, id)
       Supplier(id, f"Supplier#$id%09d", s.int(25),
         math.rint(s.uniform(-1000, 10000) * 100) / 100)
     }).toDF(), "supplier")
 
-    save(spark.range(nParts).mapPartitions(_.map { id =>
+    save(range(nParts).mapPartitions(_.map { id =>
       val s = new Stream(3, id)
       Part(id, s"${partAdjs(s.int(partAdjs.size))} ${partNouns(s.int(partNouns.size))}",
         s"Brand#${1 + s.int(20)}", partTypes(s.int(partTypes.size)),
         1 + s.int(50), math.rint((900.0 + id * 0.1) * 100) / 100)
     }).toDF(), "part")
 
-    save(spark.range(nOrders).mapPartitions(_.map { id =>
+    save(range(nOrders).mapPartitions(_.map { id =>
       val s = new Stream(4, id)
       Order(id, s.int(nCustomers.toInt.max(1)).toLong,
         statuses(s.int(3)),
@@ -173,7 +185,7 @@ object DataGen {
     // lineitem: Poisson(4) lines per order (orders drawing 0 have none),
     // flatMapped from the order range so the row count follows the law,
     // not a precomputed total.
-    save(spark.range(nOrders).mapPartitions(_.flatMap { oid =>
+    save(range(nOrders).mapPartitions(_.flatMap { oid =>
       val s = new Stream(5, oid)
       val n = s.poisson(4.0)
       (1 to n).map { ln =>
@@ -189,7 +201,7 @@ object DataGen {
       }
     }).toDF(), "lineitem")
 
-    save(spark.range(nEvents).mapPartitions(_.map { id =>
+    save(range(nEvents).mapPartitions(_.map { id =>
       val s = new Stream(6, id)
       val micros = (s.u01() * eventsSpanMicros).toLong
       Event(id, eventsEpochNanos + micros * 1000L,
@@ -201,7 +213,7 @@ object DataGen {
 
     // documents: ~5% near-duplicates (source text + " dup"), ~0.3% exact
     // duplicates; both re-evaluate baseText at a non-special source id.
-    save(spark.range(nDocs).mapPartitions(_.map { id =>
+    save(range(nDocs).mapPartitions(_.map { id =>
       val s = new Stream(7, id)
       val nearDup = id % 20 == 7
       val exactDup = id % 625 == 13
@@ -216,7 +228,7 @@ object DataGen {
       Document(id, text, lang, s"src${id % 20}", text.length.toLong)
     }).toDF(), "documents")
 
-    save(spark.range(nVecs).mapPartitions(_.map { id =>
+    save(range(nVecs).mapPartitions(_.map { id =>
       val s = new Stream(9, id)
       val label = s.int(10)
       val cs = new Stream(10, label.toLong) // shared weak label centroid
@@ -226,6 +238,5 @@ object DataGen {
     }).toDF(), "embeddings")
 
     println(s"DATAGEN complete sf=$sf dir=$outDir")
-    spark.stop()
   }
 }
