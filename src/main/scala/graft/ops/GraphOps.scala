@@ -120,10 +120,15 @@ object GraphOps extends QueryModule {
       val labels = cur.select("node", "lab")
       val sizes = labels.groupBy("lab")
         .agg(count(lit(1)).as("component_size"))
-      labels.join(sizes, Seq("lab"))
-        .select(col("node"), col("lab").as("component_id"),
-          col("component_size"))
-        .localCheckpoint(true) // materialized before finally releases
+      // tracked so a mid-job failure of the result materialization
+      // self-cleans (ckptTracked releases its own partial blocks); on
+      // success the ids are deliberately dropped — the blocks back the
+      // returned plan and the ContextCleaner reclaims them when the
+      // caller drops the result
+      Checkpoints.ckptTracked(
+        labels.join(sizes, Seq("lab"))
+          .select(col("node"), col("lab").as("component_id"),
+            col("component_size")))._1 // materialized before finally releases
     } finally {
       edges.unpersist()
       if (cur != null) Checkpoints.release(cur, curIds)
@@ -219,9 +224,10 @@ object GraphOps extends QueryModule {
         .agg(least(min("nbr"), first("node")).as("component_id"))
       val sizes = labels.groupBy("component_id")
         .agg(count(lit(1)).as("component_size"))
-      labels.join(sizes, Seq("component_id"))
-        .select(col("node"), col("component_id"), col("component_size"))
-        .localCheckpoint(true) // materialized before finally releases
+      ckptTracked( // self-cleans on failure; result blocks stay (see CC)
+        labels.join(sizes, Seq("component_id"))
+          .select(col("node"), col("component_id"),
+            col("component_size")))._1
     } finally {
       releaseIds(curIds)
     }
@@ -295,6 +301,7 @@ object GraphOps extends QueryModule {
     // blocks back the returned plan and are reclaimed by the
     // ContextCleaner when the caller drops the result
     var barrier: Option[(DataFrame, Set[Int])] = None
+    try {
     for (i <- 1 to iters) {
       val contrib = pr.join(ewd, col("node") === col("src"))
         .select(col("dst"),
@@ -318,6 +325,16 @@ object GraphOps extends QueryModule {
         barrier = Some(t)
         pr = t._1
       }
+    }
+    } catch {
+      // a later barrier's materialization failing must not strand the
+      // previously adopted barrier's blocks (ckptTracked self-cleans
+      // only its OWN partials); on success the last barrier backs the
+      // returned plan and is deliberately kept
+      case e: Throwable =>
+        barrier.foreach { case (df, ids) =>
+          graft.util.Checkpoints.release(df, ids) }
+        throw e
     }
     pr.orderBy("node")
   }
@@ -422,22 +439,24 @@ object GraphOps extends QueryModule {
     * labeling agree trivially), diameters reach ~20 (which is what
     * exposed the min-label lineage bug), and a third of the nodes are
     * natural sinks for the PageRank mass gate. */
-  private def scaleEdges(s: SparkSession, d: String): DataFrame =
-    // PlanMemo'd like every other shared graph input (edgeSet,
-    // blockRingEdges): two registered gates consume it — and the
-    // pagerank plan embeds it once per iteration subtree — so after
-    // the first action everything scans one bounded checkpoint (~2% of
-    // events) instead of re-running the scan + max-aggregate + distinct
-    graft.util.PlanMemo.memo("scale_edges", s, d) {
-      val ev = events(s, d)
-      val nu = ev.agg((max(col("user_id")) + 1).as("nu"))
-      ev.filter(pmod(xxhash64(col("event_id"), lit(7)), lit(50)) === 0)
-        .crossJoin(broadcast(nu))
-        .select(col("user_id").as("src"),
-          pmod(xxhash64(col("event_id")), col("nu")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-    }
+  private def scaleEdges(s: SparkSession, d: String): DataFrame = {
+    // Deliberately NOT PlanMemo'd, unlike the other shared graph
+    // inputs: the memo contract pins BOUNDED plans only (edge sets on
+    // fixed residue domains), while this set is scale-PROPORTIONAL by
+    // design (~2% of events) — a session-lifetime pin that grows with
+    // the corpus is exactly what PlanMemo's doc forbids. The gates pay
+    // one extra scan+distinct per run instead (ReuseExchange dedupes
+    // the repeated subtree inside the pagerank unroll); the CC twin
+    // eagerly checkpoints-and-releases its symmetrized copy per run.
+    val ev = events(s, d)
+    val nu = ev.agg((max(col("user_id")) + 1).as("nu"))
+    ev.filter(pmod(xxhash64(col("event_id"), lit(7)), lit(50)) === 0)
+      .crossJoin(broadcast(nu))
+      .select(col("user_id").as("src"),
+        pmod(xxhash64(col("event_id")), col("nu")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
 
   def all: Seq[Q] = Seq(
 

@@ -12,8 +12,10 @@ import java.nio.file.Files
 class DataGenSpec extends SparkSpec {
 
   private lazy val (dirA, dirB) = {
-    val a = Files.createTempDirectory("graft-dgA").toString
-    val b = Files.createTempDirectory("graft-dgB").toString
+    val a = graft.util.TempDirs.deleteOnExit(
+      Files.createTempDirectory("graft-dgA").toString)
+    val b = graft.util.TempDirs.deleteOnExit(
+      Files.createTempDirectory("graft-dgB").toString)
     DataGen.generate(spark, 0.002, a, slices = Some(2))
     DataGen.generate(spark, 0.002, b, slices = Some(7))
     (a, b)
