@@ -23,14 +23,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which the vectorized Parquet
-    * reader rejects; read nanos as long and convert losslessly (the data is
-    * microsecond-aligned) to a session-TZ timestamp. `div` is integer
-    * division — a double division would lose precision on epoch-nanos. */
+  /** events.parquet's `ts` physical type has varied across driver fixture
+    * generations: TIMESTAMP(NANOS) (which the vectorized reader rejects —
+    * read as epoch-nanos long via `nanosAsLong`, then convert losslessly;
+    * the data is microsecond-aligned), a raw epoch-nanos long
+    * ([[graft.DataGen]] output), or plain TIMESTAMP_NTZ micros (current
+    * driver fixtures). Normalize all of them to a session-TZ timestamp:
+    * the session TZ is pinned UTC everywhere (Verify/Bench/specs), so the
+    * NTZ→LTZ cast is a wall-clock no-op and matches the DuckDB oracle's
+    * naive reading of the same file. `div` is integer division — a double
+    * division would lose precision on epoch-nanos. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
