@@ -300,6 +300,151 @@ object CorpusOps extends QueryModule {
       Some(s"""SELECT doc_id, lang, source FROM documents
             WHERE ${PortableHashOps.sqlH60(
               "'smpl:' || CAST(doc_id AS VARCHAR)")} % 100
-              < CASE WHEN lang = 'en' THEN 5 ELSE 20 END"""))
+              < CASE WHEN lang = 'en' THEN 5 ELSE 20 END""")),
+
+    // ---- Domain-mixture rebalancing weights: per-source token counts
+    //      and the per-doc sampling weight that moves the mixture toward
+    //      a uniform token share across sources (upsampling capped at
+    //      3×, the standard guard against minting epochs of a tiny
+    //      domain). Shape at 100 TB: one map-side-combinable aggregate
+    //      over the corpus, a two-column singleton broadcast back —
+    //      the weights table itself is domain-cardinality-sized and
+    //      feeds a broadcast join in the consuming sampler. Numeric
+    //      parity: every share/weight is a SINGLE double division
+    //      (the weight's denominator stays exact BIGINT arithmetic),
+    //      so both engines produce the identical IEEE result before
+    //      the ROUND(6).
+    Q("corpus_mix_weights",
+      (s, d) => {
+        val per = documents(s, d)
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+        val tot = per.agg(sum(col("tokens")).as("total"),
+          count(lit(1)).as("k"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            round(col("tokens").cast("double") / col("total"), 6)
+              .as("token_share"),
+            round(least(lit(3.0),
+              col("total") / (col("k") * col("tokens"))), 6)
+              .as("mix_weight"))
+      },
+      Some("""WITH per AS (
+                SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS tokens
+                FROM documents GROUP BY 1),
+              tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+                        COUNT(*) AS k
+                      FROM per)
+              SELECT source, n_docs, tokens,
+                ROUND(CAST(tokens AS DOUBLE) / total, 6) AS token_share,
+                ROUND(LEAST(CAST(3.0 AS DOUBLE),
+                  total / (k * tokens)), 6) AS mix_weight
+              FROM per CROSS JOIN tot""")),
+
+    // ---- Per-doc novelty scoring: the fraction of a doc's distinct
+    //      word-trigram shingles whose FIRST corpus occurrence (min
+    //      doc_id over containing docs) is the doc itself — the
+    //      redundancy signal curriculum/selection pipelines rank by
+    //      (a near-dup of an earlier doc scores ~0, fresh content ~1).
+    //      Shape at 100 TB: explode → one shingle-keyed aggregate, a
+    //      join BACK on the same shingle key (the aggregate's output
+    //      partitioning is reused — no extra exchange on the build
+    //      side), one doc-keyed aggregate. No broadcast of anything
+    //      corpus-sized, no driver collect.
+    Q("doc_novelty",
+      (s, d) => {
+        val sh = documents(s, d).select(col("doc_id"),
+          explode(array_distinct(
+            TextOps.shingles(TextOps.tokens(col("text")), 3)))
+            .as("shingle"))
+        val first = sh.groupBy("shingle")
+          .agg(min("doc_id").as("first_doc"))
+        sh.join(first, Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                            FROM documents),
+              sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                       AS shingle
+                     FROM toks WHERE len(t) >= 3),
+              first AS (SELECT shingle, MIN(doc_id) AS first_doc
+                        FROM sh GROUP BY 1),
+              agg AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+                        CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                      FROM sh s JOIN first f ON s.shingle = f.shingle
+                      GROUP BY 1)
+              SELECT doc_id, n_shingles, n_novel,
+                ROUND(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+              FROM agg""")),
+
+    // ---- Leakage-safe train/eval split: docs in the same near-dup
+    //      cluster MUST land in the same split (splitting a dup pair
+    //      across train and eval is silent contamination), so the split
+    //      decision hashes the cluster's canonical id — portable 60-bit
+    //      hash, 90/10 — and singleton docs hash their own id. Reuses
+    //      dup_clusters' machinery end-to-end: same pair list, same
+    //      O(log n) ccLogStar, same checkpoint/release discipline. The
+    //      cluster map joins back to the corpus on doc_id WITHOUT a
+    //      broadcast hint: the dup-cluster side is usually orders
+    //      smaller than the corpus but is data-dependent — AQE promotes
+    //      it to broadcast when it fits, and the shuffle join is the
+    //      safe fallback when a pathological corpus makes it large.
+    Q("split_leakage_safe",
+      (s, d) => {
+        val (rawPairs, releaseDocs) = TextOps.jaccardPairsWithRelease(s, d)
+        var pairs: org.apache.spark.sql.DataFrame = null
+        var pairIds: Set[Int] = Set.empty
+        try {
+          val cp = graft.util.Checkpoints.ckptTracked(
+            rawPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          pairs = cp._1; pairIds = cp._2
+          releaseDocs()
+          val cc = GraphOps.ccLogStar(pairs)
+          val key = coalesce(col("component_id"), col("doc_id"))
+          documents(s, d).select(col("doc_id"))
+            .join(cc.select(col("node").as("doc_id"), col("component_id")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), key.as("split_key"),
+              when(PortableHashOps.h60(
+                concat(lit("split:"), key.cast("string"))) % 100 < 90,
+                "train").otherwise("eval").as("split"))
+        } finally {
+          releaseDocs() // idempotent failure backstop
+          if (pairs != null) graft.util.Checkpoints.release(pairs, pairIds)
+        }
+      },
+      Some(s"""WITH RECURSIVE
+            pairs AS (SELECT doc_a, doc_b
+                      FROM (${TextOps.jaccardPairsSql})),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION ALL
+                      SELECT doc_b, doc_a FROM pairs),
+            reach(doc_id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lab
+              FROM reach r JOIN edges e ON e.src = r.doc_id),
+            lab AS (SELECT doc_id, MIN(lab) AS cluster_id
+                    FROM reach GROUP BY 1)
+            SELECT d.doc_id,
+              COALESCE(l.cluster_id, d.doc_id) AS split_key,
+              CASE WHEN ${PortableHashOps.sqlH60(
+                "'split:' || CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)")}
+                  % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id"""),
+      eager = true)
   )
 }

@@ -67,14 +67,16 @@ class SparkEntrySpec extends AnyFunSuite {
   test("eager queries stay the rare, documented exception") {
     val eager = modules.flatMap(_.all).filter(_.eager).map(_.name)
     // each entry here carries an executing schema spec: CorpusOpsSpec
-    // for dup_clusters, GraphOpsSpec for the two component variants,
-    // AnnRecallSpec for the IVF pair (eager because centroid training
-    // is a collect), StreamIngestSpec for sessionize_stream (eager
-    // because construction runs a streaming query to completion)
+    // for dup_clusters and split_leakage_safe (eager for the same
+    // reason — the ccLogStar convergence loop), GraphOpsSpec for the
+    // two component variants, AnnRecallSpec for the IVF pair (eager
+    // because centroid training is a collect), StreamIngestSpec for
+    // sessionize_stream (eager because construction runs a streaming
+    // query to completion)
     assert(eager.sorted ==
       Seq("ann_ivf_recall", "ann_ivf_topk", "dup_clusters",
         "graph_cc_components", "graph_cc_logstar", "graph_cc_scale_twin",
-        "sessionize_stream"),
+        "sessionize_stream", "split_leakage_safe"),
       s"new eager query needs its own executing schema spec: $eager")
   }
 }

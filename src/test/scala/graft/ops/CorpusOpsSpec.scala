@@ -55,4 +55,39 @@ class CorpusOpsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("split_leakage_safe: near-dup clusters never straddle the split, " +
+    "singletons hash their own id, no cache left pinned") {
+    val result = graft.SparkEntry.queries("split_leakage_safe")(spark, sf)
+    // eager Q contract: pin the schema and the cache hygiene here (the
+    // analysis-only sweeps skip eager queries).
+    assert(result.schema.fields.map(f => f.name -> f.dataType.typeName)
+      .toSeq == Seq("doc_id" -> "long", "split_key" -> "long",
+        "split" -> "string"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "split_leakage_safe construction left a SQL cache pinned")
+    val rows = result.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("split_key"),
+        r.getAs[String]("split")))
+    val byDoc = rows.map(r => r._1 -> r._3).toMap
+    // every doc appears exactly once
+    assert(rows.length == byDoc.size)
+    assert(rows.length ==
+      graft.Tables.documents(spark, sf).count().toInt)
+    // the contamination contract: both ends of every near-dup pair land
+    // in the SAME split
+    val pairs = TextOps.jaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) straddles the split")
+    }
+    // both splits are non-empty at a 90/10 hash rate over 500 docs
+    val n = rows.length.toDouble
+    val evalFrac = rows.count(_._3 == "eval") / n
+    assert(evalFrac > 0.02 && evalFrac < 0.25,
+      s"eval fraction $evalFrac implausible for a 90/10 hash split")
+    spark.catalog.clearCache()
+  }
 }
