@@ -351,16 +351,25 @@ object CorpusOps extends QueryModule {
     //      redundancy signal curriculum/selection pipelines rank by
     //      (a near-dup of an earlier doc scores ~0, fresh content ~1).
     //      Shape at 100 TB: explode → one shingle-keyed aggregate, a
-    //      join BACK on the same shingle key (the aggregate's output
-    //      partitioning is reused — no extra exchange on the build
-    //      side), one doc-keyed aggregate. No broadcast of anything
-    //      corpus-sized, no driver collect.
+    //      join BACK on the same shingle key, one doc-keyed aggregate.
+    //      The join regime is scale-adaptive by construction: at
+    //      fixture scale the first-occurrence map fits and the planner
+    //      broadcasts it (measured — BroadcastHashJoin at sf0.01); at
+    //      corpus scale the map is all-distinct-shingles-sized, far too
+    //      big to broadcast, and the plan degrades to a shingle-keyed
+    //      SMJ whose build side reuses the aggregate's own exchange
+    //      (ENSURE_REQUIREMENTS dedupes the identical partitioning).
+    //      Nothing is collected on the driver either way.
     Q("doc_novelty",
       (s, d) => {
+        // sh feeds both the first-occurrence aggregate and the join
+        // probe side — cache it so the corpus is tokenized and exploded
+        // once (at 100 TB: materialize the shingle projection to a
+        // table). Lazy-query cache lifecycle as for tfidf_top_terms.
         val sh = documents(s, d).select(col("doc_id"),
           explode(array_distinct(
             TextOps.shingles(TextOps.tokens(col("text")), 3)))
-            .as("shingle"))
+            .as("shingle")).cache()
         val first = sh.groupBy("shingle")
           .agg(min("doc_id").as("first_doc"))
         sh.join(first, Seq("shingle"))
