@@ -324,4 +324,31 @@ class PlanSpec extends SparkSpec {
       s"expected 1 exchange (the aggregate), saw $aggExchanges\n${p.take(1500)}")
     assert(p.contains("partial_max"), "presence bits must combine map-side")
   }
+
+  test("mix weights: the totals singleton rides as a broadcast over the " +
+    "map-side-combined per-source aggregate") {
+    val p = plan("corpus_mix_weights")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(1500))
+    assert(p.contains("partial_sum"), "per-source token agg must combine " +
+      "map-side")
+    // scan pruned to the two columns the operator touches
+    assert(p.contains("ReadSchema: struct<text:string,source:string>") ||
+      p.contains("ReadSchema: struct<source:string,text:string>"),
+      p.take(1500))
+  }
+
+  test("doc novelty: scan pruned to (doc_id, text); both aggregates " +
+    "combine map-side; the doc-keyed agg is the only non-broadcast " +
+    "exchange consumer after the join") {
+    val p = plan("doc_novelty")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(1500))
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "shingle/doc aggregates must combine map-side\n" + p.take(1500))
+    // fixture-scale regime: the first-occurrence map broadcasts (the
+    // scale regime degrades to a shingle-keyed SMJ — see the operator
+    // comment; this pin documents the measured small-scale plan)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
 }
