@@ -533,37 +533,106 @@ object GraphOps extends QueryModule {
       Some(taintSql(source = 7L, hops = 3))),
 
     // ---- Neighborhood inter-connectedness: global triangle count via
-    //      the ordered wedge join (each triangle counted once as
-    //      a < b < c). The mod-7 filter keeps the synthetic graph
-    //      sparse enough that wedge fan-out stays bounded.
+    //      the DEGREE-ORDERED wedge join (Suri & Vassilvitskii,
+    //      "Counting Triangles and the Curse of the Last Reducer",
+    //      WWW'11). Two scale decisions, both forced by measurement:
+    //
+    //      1. The projected node domain GROWS WITH THE DATA — a
+    //         count-derived modulus (|events|/50, floor 40) computed by
+    //         a broadcast singleton on the Spark side and the identical
+    //         scalar subquery in the oracle. The round-8 third-decade
+    //         run caught the old fixed mod-2000 domain going 27×
+    //         super-linear at sf10: with nodes capped, edge DENSITY
+    //         rises with every added row and wedge fan-out is
+    //         quadratic in density. A domain proportional to the data
+    //         keeps density (and per-node degree) constant, so cost
+    //         tracks the edge count.
+    //      2. Each edge is oriented from lower to higher (degree, node)
+    //         rank and wedges open only at their lowest-ranked apex:
+    //         out-degrees are bounded by O(√m) REGARDLESS of skew, so
+    //         one hub cannot own a quadratic wedge set — the "last
+    //         reducer" a natural-key wedge join dies on at 100 TB.
+    //         Each triangle is counted exactly once (apex = min rank;
+    //         the closing edge is oriented low→high rank by
+    //         construction, so one semi-join closes it).
     Q("graph_triangles",
       (s, d) => {
+        val k = events(s, d)
+          .agg(greatest((count(lit(1)) / 50).cast("long"), lit(40L))
+            .as("k"))
         val raw = events(s, d).filter(col("event_id") % 7 === 0)
-          .select((col("user_id") % 2000).as("x"),
-            (col("event_id") % 2000).as("y"))
+          .crossJoin(broadcast(k))
+          .select((col("user_id") % col("k")).as("x"),
+            (col("event_id") % col("k")).as("y"))
         val und = raw
           .select(least(col("x"), col("y")).as("a"),
             greatest(col("x"), col("y")).as("b"))
           .filter(col("a") =!= col("b")).distinct()
-        val wedge = und.join(
-          und.select(col("a").as("b2"), col("b").as("c")),
-          col("b") === col("b2"))
+        val deg = und.select(col("a").as("node"))
+          .union(und.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        // orient by (deg, node) rank; carry the endpoint degrees so the
+        // wedge stage can compare ranks without re-joining
+        val withDeg = und
+          .join(deg.select(col("node").as("a"), col("deg").as("da")),
+            Seq("a"))
+          .join(deg.select(col("node").as("b"), col("deg").as("db")),
+            Seq("b"))
+        val oriented = withDeg.select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v"),
+              col("db").as("dv")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v"),
+              col("da").as("dv")))
+            .as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"),
+            col("e.dv").as("dv"))
+        val wedge = oriented
+          .join(oriented.select(col("u").as("u2"), col("v").as("w"),
+            col("dv").as("dw")), col("u") === col("u2"))
+          .filter(col("dv") < col("dw") ||
+            (col("dv") === col("dw") && col("v") < col("w")))
         wedge.join(
-            und.select(col("a").as("a3"), col("b").as("c3")),
-            col("a") === col("a3") && col("c") === col("c3"),
+            oriented.select(col("u").as("v3"), col("v").as("w3")),
+            col("v") === col("v3") && col("w") === col("w3"),
             "left_semi")
           .agg(count(lit(1)).as("n_triangles"))
       },
-      Some("""WITH raw AS (
-                SELECT user_id % 2000 AS x, event_id % 2000 AS y
-                FROM events WHERE event_id % 7 = 0),
+      Some("""WITH k AS (
+                SELECT GREATEST(COUNT(*) // 50, 40) AS k FROM events),
+              raw AS (
+                SELECT user_id % k.k AS x, event_id % k.k AS y
+                FROM events CROSS JOIN k WHERE event_id % 7 = 0),
               und AS (
                 SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
-                FROM raw WHERE x <> y)
+                FROM raw WHERE x <> y),
+              deg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                  SELECT a AS node FROM und
+                  UNION ALL
+                  SELECT b AS node FROM und)
+                GROUP BY 1),
+              oriented AS (
+                SELECT
+                  CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS u,
+                  CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS v,
+                  CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND e.a < e.b)
+                    THEN db.deg ELSE da.deg END AS dv
+                FROM und e
+                JOIN deg da ON da.node = e.a
+                JOIN deg db ON db.node = e.b)
               SELECT COUNT(*) AS n_triangles
-              FROM und e1
-              JOIN und e2 ON e2.a = e1.b
-              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""")),
+              FROM oriented e1
+              JOIN oriented e2 ON e2.u = e1.u
+                AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+              WHERE EXISTS (SELECT 1 FROM oriented e3
+                            WHERE e3.u = e1.v AND e3.v = e2.v)""")),
 
     // ---- PageRank mass-conservation gate on the SCALE-PROPORTIONAL
     //      graph: the oracle-checked graph_pagerank runs on the fixed

@@ -156,11 +156,15 @@ class GraphOpsSpec extends SparkSpec {
 
   test("graph_triangles: count matches the brute-force subgraph check") {
     // brute-force on the tiny sf0.001 graph: materialize the undirected
-    // edge set and count closing triples driver-side
+    // edge set and count closing triples driver-side. The modulus
+    // mirrors the operator's count-derived domain (|events|/50,
+    // floor 40) — the degree-ordered operator must agree with this
+    // orientation-free triple count exactly.
+    val k = math.max(graft.Tables.events(spark, sf).count() / 50, 40L)
     val und = graft.Tables.events(spark, sf)
       .filter(col("event_id") % 7 === 0)
-      .select((col("user_id") % 2000).as("x"),
-        (col("event_id") % 2000).as("y"))
+      .select((col("user_id") % k).as("x"),
+        (col("event_id") % k).as("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
