@@ -708,6 +708,109 @@ object Extensions extends QueryModule {
                 p.purchase_id, p.purchase_ts
               FROM clicks c ASOF LEFT JOIN purchases p
                 ON c.user_id = p.user_id
-                AND p.purchase_ts <= c.click_ts"""))
+                AND p.purchase_ts <= c.click_ts""")),
+
+    // ---- x29: ordered event funnel (view → click → purchase, strictly
+    //      increasing event time) — the sequence-analytics operator
+    //      behind conversion reporting. The per-user recurrence (stage
+    //      k's earliest time depends on stage k-1's) is unrolled into
+    //      one keyed aggregate PER STAGE: filter to the stage's type,
+    //      join to the previous stage's per-user frontier, keep rows
+    //      strictly later, take min(ts). Every aggregate and every join
+    //      is keyed on user_id, so at scale the plan is (funnel length)
+    //      sequential hash aggregates over ONE key — all partial
+    //      (map-side combined), all linear, no window over the full
+    //      event set and no per-user sorted scan. Depth is derived from
+    //      frontier nullness after two left joins of user-level (small)
+    //      relations. NULL user/ts rows are filtered up front on both
+    //      engines so the join/grouping null contracts are identical.
+    Q("x29_funnel_steps",
+      (s, d) => {
+        val ev = events(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t_view"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min("ts").as("t_click"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min("ts").as("t_purchase"))
+        s1.join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"),
+            col("t_purchase"),
+            when(col("t_purchase").isNotNull, 3)
+              .when(col("t_click").isNotNull, 2)
+              .otherwise(1).as("depth"))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              s1 AS (
+                SELECT user_id, min(ts) AS t_view
+                FROM ev WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (
+                SELECT e.user_id, min(e.ts) AS t_click
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t_view
+                GROUP BY 1),
+              s3 AS (
+                SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+                GROUP BY 1)
+              SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+                CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                          WHEN s2.t_click IS NOT NULL THEN 2
+                          ELSE 1 END AS INT) AS depth
+              FROM s1 LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)""")),
+
+    // ---- x30: weekly retention cohorts — cohort = the Monday-truncated
+    //      week of a user's first event; each (cohort, week-offset) cell
+    //      counts the distinct users active that week. Two keyed
+    //      aggregates (user frontier, then the cohort cell) plus one
+    //      user-keyed join of the event stream to its own per-user
+    //      min — the same one-key co-partitioned shape as x29, linear in
+    //      events. Both engines truncate weeks to Monday 00:00, and the
+    //      offset divides an exact multiple of 7 days, so the cell keys
+    //      are engine-independent. COUNT(DISTINCT user) per cell
+    //      shuffles (cohort, offset, user) once — expand-free because
+    //      it is the only distinct aggregate in the query.
+    Q("x30_retention_cohorts",
+      (s, d) => {
+        val ev = events(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).as("wk"))
+        val firstWk = ev.groupBy("user_id").agg(min("wk").as("w0"))
+        ev.join(firstWk, "user_id")
+          .groupBy(col("w0").as("cohort_week"),
+            (datediff(col("wk"), col("w0")) / 7).cast("int")
+              .as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("users"))
+      },
+      Some("""WITH ev AS (
+                -- DuckDB's week-truncation yields DATE; Spark's yields
+                -- TIMESTAMP — cast at the source so every derived
+                -- column (min, join keys, output) carries one type
+                SELECT user_id,
+                  CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                    AS TIMESTAMP) AS wk
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              firstwk AS (
+                SELECT user_id, min(wk) AS w0 FROM ev GROUP BY 1)
+              SELECT f.w0 AS cohort_week,
+                CAST(datediff('day', f.w0, e.wk) / 7 AS INT)
+                  AS week_offset,
+                count(DISTINCT e.user_id) AS users
+              FROM ev e JOIN firstwk f USING (user_id)
+              GROUP BY 1, 2"""))
   )
 }

@@ -351,4 +351,38 @@ class PlanSpec extends SparkSpec {
     // comment; this pin documents the measured small-scale plan)
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
+
+  test("funnel: stage-type filters push to every events scan; all " +
+    "frontier aggregates combine map-side; no unkeyed join") {
+    val p = plan("x29_funnel_steps")
+    // each stage's event_type equality reaches the parquet scan — the
+    // 100 TB claim is that a stage reads its own slice, not all events
+    for (t <- Seq("view", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$t)"),
+        s"stage filter $t not pushed\n" + p.take(1500))
+    assert(p.contains("partial_min"),
+      "frontier min must combine map-side\n" + p.take(1500))
+    // every join is keyed on user_id (broadcast at fixture scale; the
+    // same keyed plan SMJs co-partitioned at scale) — a nested-loop or
+    // cartesian here would mean the time predicate leaked into the
+    // join condition as the only condition
+    assert(p.contains("BroadcastHashJoin [user_id"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("retention: scan pruned to (ts, user_id); COUNT(DISTINCT) is the " +
+    "expand-free two-level aggregate; the frontier join is keyed") {
+    val p = plan("x30_retention_cohorts")
+    assert(p.contains("ReadSchema: struct<ts:"), p.take(1500))
+    assert(!p.contains("props") && !p.contains("event_type"),
+      "unused columns must not reach the scan\n" + p.take(1500))
+    assert(p.contains("partial_min"),
+      "per-user frontier must combine map-side\n" + p.take(1500))
+    // distinct-count compiles to dedup-then-count (two aggregate
+    // levels), not an Expand — the only distinct aggregate in the query
+    assert(p.contains("partial_count(distinct") ||
+      p.contains("count(distinct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin [user_id"), p.take(1500))
+  }
 }
