@@ -7,7 +7,14 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.01")
-    println(df.queryExecution.executedPlan.toString.take(4000))
+    // --final: execute first, so AQE's final plan (runtime join demotions,
+    // ReusedExchange dedup of repeated subtrees) is what prints — the
+    // pre-execution adaptive plan shows none of that. Must execute THIS
+    // DataFrame's own plan: count() builds a separate QueryExecution and
+    // leaves this one untouched, so it is collect-and-discard here
+    // (fixture-scale inputs only).
+    if (args.contains("--final")) df.collect()
+    println(df.queryExecution.executedPlan.toString.take(8000))
     spark.stop()
   }
 }

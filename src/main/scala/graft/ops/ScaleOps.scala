@@ -81,10 +81,24 @@ object ScaleOps extends QueryModule {
     //      scale. (The exact twin is gate instrumentation; the scale
     //      path a user runs is the approx aggregate alone — its
     //      per-key readout stays oracle-covered via a2_distinct_group.)
+    //      Shape note (round 8): the obvious one-aggregate form —
+    //      groupBy(suppkey).agg(approx_count_distinct, countDistinct) —
+    //      mixes a distinct and a non-distinct aggregate, which Spark
+    //      rewrites through an Expand (every input row shuffled TWICE)
+    //      with no map-side combine on the distinct leg; at sf10 that
+    //      measured 14.6× on 10× data (hash-agg spill knee). Pre-
+    //      deduplicating the (suppkey, orderkey) pairs first is
+    //      semantically identical — an HLL sketch is duplicate-
+    //      insensitive, so approx over the deduped pairs equals approx
+    //      over the raw rows, and count-per-key over them IS the exact
+    //      distinct — while making the heavy shuffle a plain map-side-
+    //      combinable aggregate with no Expand.
     Q("a2_approx_distinct",
-      (s, d) => lineitem(s, d).groupBy("l_suppkey")
+      (s, d) => lineitem(s, d)
+        .select("l_suppkey", "l_orderkey").distinct()
+        .groupBy("l_suppkey")
         .agg(approx_count_distinct("l_orderkey").as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          count(lit(1)).as("exact_orders"))
         .agg(count(lit(1)).as("n_groups"),
           max(abs(col("approx_orders") - col("exact_orders")) /
             col("exact_orders")).as("max_rel_err"),

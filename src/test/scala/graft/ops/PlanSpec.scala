@@ -371,6 +371,17 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("funnel: the shared stage frontiers are computed once — " +
+    "ReusedExchange dedupes Catalyst's repeated subtrees at runtime") {
+    val df = graft.SparkEntry.queries("x29_funnel_steps")(spark, sf)
+    df.collect() // AQE only finalizes (and reuses) on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("ReusedExchange"),
+      "s1/s2 frontier exchanges must dedupe, not recompute\n" +
+        p.take(2000))
+  }
+
   test("retention: scan pruned to (ts, user_id); COUNT(DISTINCT) is the " +
     "expand-free two-level aggregate; the frontier join is keyed") {
     val p = plan("x30_retention_cohorts")
