@@ -113,15 +113,49 @@ object DataGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
+    val clustered = args.headOption.contains("clustered")
+    val sf =
+      if (clustered) 0.0 else args.headOption.map(_.toDouble).getOrElse(1.0)
     val outDir = args.lift(1).getOrElse("/root/repo/testdata/sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, outDir)
+    if (clustered) {
+      // `DataGen clustered <nVecs> <outDir>`: embeddings-only fixture in
+      // the CLUSTERED regime (see generateClusteredEmbeddings).
+      generateClusteredEmbeddings(spark, args(1).toLong, args(2))
+    } else generate(spark, sf, outDir)
     spark.stop()
+  }
+
+  /** Clustered-embedding fixture: label-centered Gaussians with the
+    * centroid DOMINATING (|centroid| ≈ √64 vs noise σ=0.15 per dim →
+    * in-cluster cosine ≈ 0.98, cross-cluster ≈ 0±0.12), unlike the
+    * driver fixture's near-uniform sphere (0.04 label bias, neighbor
+    * cosine 0.24–0.42). This is the regime a real corpus's embedding
+    * space is in — near-duplicates and same-topic documents form tight
+    * cones — and the regime LSH bucketing actually prunes in: whole
+    * clusters land in a bucket, cross-cluster pairs rarely collide at
+    * ≥10 bits. `graft.LshSweep` measures recall + candidate fraction on
+    * these dirs (BENCH_NOTES "LSH clustered" entry). Same schema and
+    * SplitMix determinism as the main generator; only embeddings.parquet
+    * is written (the sweep reads nothing else). */
+  def generateClusteredEmbeddings(spark: SparkSession, nVecs: Long,
+      outDir: String, nClusters: Int = 64, noise: Double = 0.15): Unit = {
+    import spark.implicits._
+    spark.range(nVecs).mapPartitions(_.map { id =>
+      val s = new Stream(11, id)
+      val label = s.int(nClusters)
+      val cs = new Stream(12, label.toLong) // shared cluster centroid
+      val raw = Array.tabulate(64)(_ => cs.gaussian() + noise * s.gaussian())
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      Embedding(id, raw.map(x => (x / norm).toFloat), label)
+    }).toDF().coalesce(8).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/embeddings.parquet")
+    println(s"DATAGEN clustered embeddings n=$nVecs dir=$outDir")
   }
 
   /** Generate all tables at `sf` under `outDir`. `slices` overrides the

@@ -14,11 +14,17 @@ object LshSweep {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
-    val grid = Seq((8, 6), (12, 6), (16, 6), (20, 6), (12, 5), (16, 7))
+    // 5–7 bits: the near-uniform driver-fixture regime (neighbors at
+    // cos 0.24–0.42 — low bits or nothing collides). 10–12 bits: the
+    // clustered regime (DataGen `clustered` dirs, in-cluster cos ≈0.98 —
+    // high bits keep recall while cross-cluster collisions vanish).
+    val grid = Seq((8, 6), (12, 6), (16, 6), (20, 6), (12, 5), (16, 7),
+      (4, 10), (8, 10), (8, 12), (16, 10))
     for (d <- dirs) {
       val exact = SparkEntry.queries("ann_cosine_topk")(spark, d)
         .select("query_id", "vec_id").collect()

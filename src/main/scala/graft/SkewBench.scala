@@ -29,6 +29,7 @@ object SkewBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -80,11 +81,23 @@ object SkewBench {
 
     run(skewedFact.join(dim, Seq("k"))) // warmup: JIT + codegen
 
+    // Adaptive arm: same decomposition with the hot key DETECTED from a
+    // 1% sample instead of known a priori — the rowsPerSalt target is
+    // fixture-rows / salts so the detected fan-out lands in the same
+    // regime as the hand-salted arm.
+    val factRows = skewedFact.count()
+    def adaptive() = graft.ops.ScaleOps.adaptiveSaltedJoin(
+      skewedFact, dim, "k", sampleFraction = 0.01,
+      rowsPerSalt = math.max(1L, factRows / salts), maxSalts = salts)
+
     val plainRes = run(skewedFact.join(dim, Seq("k")))
     val saltedRes =
       run(graft.ops.ScaleOps.saltedJoin(skewedFact, dim, "k", salts))
     require(plainRes == saltedRes,
       s"salted join changed the result: $plainRes vs $saltedRes")
+    val adaptiveRes = run(adaptive())
+    require(plainRes == adaptiveRes,
+      s"adaptive join changed the result: $plainRes vs $adaptiveRes")
 
     val plain = withConf(noMitigation: _*) {
       time(() => run(skewedFact.join(dim, Seq("k"))))
@@ -93,12 +106,16 @@ object SkewBench {
       time(() =>
         run(graft.ops.ScaleOps.saltedJoin(skewedFact, dim, "k", salts)))
     }
+    val adaptiveSec = withConf(noMitigation: _*) {
+      time(() => run(adaptive())) // includes per-run detection sampling
+    }
     val aqeSkew = withConf(noMitigation.init: _*) { // skew-join ON
       time(() => run(skewedFact.join(dim, Seq("k"))))
     }
     println(s"""{"fixture":"half-hot x10 $sfDir","salts":$salts,""" +
       s""""plain_smj":${Bench.num(plain)},""" +
       s""""salted":${Bench.num(salted)},""" +
+      s""""adaptive_salted":${Bench.num(adaptiveSec)},""" +
       s""""plain_aqe_skew":${Bench.num(aqeSkew)},""" +
       s""""groups":${plainRes._1}}""")
     spark.stop()

@@ -32,16 +32,28 @@ object Tables {
     * the session TZ is pinned UTC everywhere (Verify/Bench/specs), so the
     * NTZ→LTZ cast is a wall-clock no-op and matches the DuckDB oracle's
     * naive reading of the same file. `div` is integer division — a double
-    * division would lose precision on epoch-nanos. */
+    * division would lose precision on epoch-nanos.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set at SESSION
+    * BUILD time — every graft entry point (Verify/Bench/Smoke/specs) does.
+    * It used to be set here, but a loader mutating session config is a
+    * global side effect a concurrent reader could race. Any ts physical
+    * type outside the known variants fails fast HERE with the observed
+    * type, so the next driver fixture drift surfaces in this loader (and
+    * TablesSpec) with a clear message rather than as an illegible
+    * downstream error. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other (fixture drift?); " +
+        "known variants: TIMESTAMP(NANOS) via nanosAsLong, epoch-nanos " +
+        "BIGINT, TIMESTAMP_NTZ micros, TIMESTAMP micros")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -310,10 +310,13 @@ object CorpusOps extends QueryModule {
     //      over the corpus, a two-column singleton broadcast back —
     //      the weights table itself is domain-cardinality-sized and
     //      feeds a broadcast join in the consuming sampler. Numeric
-    //      parity: every share/weight is a SINGLE double division
-    //      (the weight's denominator stays exact BIGINT arithmetic),
-    //      so both engines produce the identical IEEE result before
-    //      the ROUND(6).
+    //      parity: every share/weight is a SINGLE double division, and
+    //      the weight's denominator multiplies via DOUBLE on both sides
+    //      (k is domain-cardinality-sized, so k→double is exact; an
+    //      exact-BIGINT k*tokens would silently wrap past 2^63 in
+    //      non-ANSI Spark while raising in DuckDB — a latent engine
+    //      divergence), so both engines produce the identical IEEE
+    //      result before the ROUND(6).
     Q("corpus_mix_weights",
       (s, d) => {
         val per = documents(s, d)
@@ -328,7 +331,7 @@ object CorpusOps extends QueryModule {
             round(col("tokens").cast("double") / col("total"), 6)
               .as("token_share"),
             round(least(lit(3.0),
-              col("total") / (col("k") * col("tokens"))), 6)
+              col("total") / (col("k").cast("double") * col("tokens"))), 6)
               .as("mix_weight"))
       },
       Some("""WITH per AS (
@@ -342,7 +345,7 @@ object CorpusOps extends QueryModule {
               SELECT source, n_docs, tokens,
                 ROUND(CAST(tokens AS DOUBLE) / total, 6) AS token_share,
                 ROUND(LEAST(CAST(3.0 AS DOUBLE),
-                  total / (k * tokens)), 6) AS mix_weight
+                  total / (CAST(k AS DOUBLE) * tokens)), 6) AS mix_weight
               FROM per CROSS JOIN tot""")),
 
     // ---- Per-doc novelty scoring: the fraction of a doc's distinct

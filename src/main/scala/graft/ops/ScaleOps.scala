@@ -39,6 +39,73 @@ object ScaleOps extends QueryModule {
     dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
 
+  /** Sample-based hot-key detection for [[adaptiveSaltedJoin]]: estimate
+    * per-key cardinality from a seeded `sampleFraction` scan, return the
+    * keys whose estimated row count exceeds `rowsPerSalt` with the salt
+    * fan-out each needs (`ceil(est / rowsPerSalt)`, capped at `maxSalts`).
+    *
+    * Driver-side state is doubly bounded: only keys seen ≥ `minSample`
+    * times in the sample qualify (an uncommon key's estimate is noise —
+    * and an uncommon key doesn't need salting), and only the `topK` most
+    * frequent are kept, so the collect is ≤ topK tiny rows no matter the
+    * input size — the same bounded-metadata-collect shape as the IVF
+    * centroid training. One 1% scan at 100 TB is the price of not having
+    * to know the hot keys a priori; pipelines that DO know them should
+    * call [[saltedJoin]] directly and skip the scan. */
+  def detectHotKeys(fact: DataFrame, key: String,
+      sampleFraction: Double, rowsPerSalt: Long, maxSalts: Int,
+      topK: Int = 100, minSample: Long = 8): Array[(Any, Int)] =
+    fact.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(key).agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= minSample &&
+        col("_cnt") / sampleFraction > rowsPerSalt)
+      .orderBy(desc("_cnt")).limit(topK)
+      .collect()
+      .map { r =>
+        val est = r.getAs[Long]("_cnt") / sampleFraction
+        r.get(0) -> math.min(maxSalts.toLong,
+          math.ceil(est / rowsPerSalt).toLong).toInt
+      }
+
+  /** Adaptive salted equi-join: [[saltedJoin]] without knowing the hot
+    * key up front — the 100 TB reality, where the skewed key is data-
+    * dependent. Detects hot keys from a sample, salts ONLY those (per-key
+    * fan-out proportional to observed frequency), and passes every other
+    * key through with a single salt, so the build-side replication cost
+    * is `Σ hot-key salts` extra rows, not `salts × |dim|`. Produces
+    * EXACTLY the rows of the plain join (oracle = plain SQL join).
+    *
+    * The hot-key table rides into both sides as a broadcast join (≤ topK
+    * rows); keys absent from it default to fan-out 1 via the coalesce.
+    * EAGER (Q.scala contract): detection runs a sampling job at
+    * construction; nothing is cached, so there is nothing to release. */
+  def adaptiveSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      sampleFraction: Double = 0.01, rowsPerSalt: Long = 1000000L,
+      maxSalts: Int = 32): DataFrame = {
+    val hot = detectHotKeys(fact, key, sampleFraction, rowsPerSalt, maxSalts)
+    if (hot.isEmpty) return fact.join(dim, Seq(key))
+    val s = fact.sparkSession
+    val keyField = fact.schema(key)
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(keyField, org.apache.spark.sql.types.StructField(
+        "_nsalts", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val hotDf = s.createDataFrame(
+      java.util.Arrays.asList(hot.map { case (k, n) =>
+        org.apache.spark.sql.Row(k, n) }: _*), schema)
+    def fanOut(side: DataFrame) = side
+      .join(broadcast(hotDf), Seq(key), "left")
+      .withColumn("_n", coalesce(col("_nsalts"), lit(1)))
+      .drop("_nsalts")
+    val factS = fanOut(fact)
+      .withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), col("_n")).cast("int"))
+      .drop("_n")
+    val dimS = fanOut(dim)
+      .withColumn("_salt", explode(sequence(lit(0), col("_n") - 1)))
+      .drop("_n")
+    factS.join(dimS, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Deterministic skewed join fixture shared by SkewSpec (distribution
     * pin) and SkewBench (wall-clock crossover) — a drifted copy would let
     * the spec pin a different shape than the bench measures. Probe side:
@@ -127,6 +194,39 @@ object ScaleOps extends QueryModule {
               ${sqlDecSum("l_extendedprice")} AS total_price
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY 1""")),
+
+    // ---- Adaptive salted join on the ACTUALLY-skewed fixture (the one
+    //      SkewSpec/SkewBench share): ~half the probe rows collapse onto
+    //      key 1, which detection must find from the sample and salt,
+    //      while the thousands of uniform keys pass through with fan-out
+    //      1. Oracle = the plain SQL join over the same CASE-collapsed
+    //      keys, so a detection or decomposition bug (lost rows,
+    //      duplicated build rows) hash-fails. EAGER: detection samples at
+    //      construction (Q.scala contract; SkewSpec executes + pins the
+    //      schema).
+    Q("skew_adaptive_join",
+      (s, d) => {
+        val (fact, dim) = skewedFixture(s, d, amplify = 1)
+        adaptiveSaltedJoin(fact.select("k", "l_extendedprice"), dim, "k",
+          sampleFraction = 0.05, rowsPerSalt = 500, maxSalts = 16)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_lines"),
+            decSum(col("l_extendedprice") * col("payload")).as("mass"))
+      },
+      Some(s"""WITH fact AS (
+                SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+                            ELSE l_orderkey END AS k,
+                       l_extendedprice
+                FROM lineitem),
+              dim AS (
+                SELECT DISTINCT CASE WHEN o_orderkey % 2 = 0 THEN 1
+                                     ELSE o_orderkey END AS k
+                FROM orders),
+              dim2 AS (SELECT k, CAST(k % 97 AS DOUBLE) AS payload FROM dim)
+              SELECT k, COUNT(*) AS n_lines,
+                ${sqlDecSum("l_extendedprice * payload")} AS mass
+              FROM fact JOIN dim2 USING (k) GROUP BY 1"""),
+      eager = true),
 
     // ---- IVF ANN: build a coarse quantizer (centroids = one Lloyd
     //      assignment step from the label seeding — a distributed

@@ -13,7 +13,10 @@ import graft.Tables._
   * (maxHops ≤ 3) is tiny and static, while every join inside it is fully
   * distributed. The edge set is deduplicated once up front and broadcast
   * when small; each frontier is the previous frontier joined to the edges
-  * (path multiplicity preserved, matching UNION ALL semantics).
+  * and re-aggregated to a WEIGHTED frontier — one (src, dst, paths) row
+  * per reached edge, path multiplicity carried as a count, not as rows.
+  * Distributive counting makes this bit-identical to UNION ALL bag
+  * semantics while bounding every hop's state by |edges|, not |paths|.
   * `localCheckpoint` would cut lineage for deep traversals; at hop ≤ 3 the
   * lineage is shallow enough to skip it.
   *
@@ -49,9 +52,26 @@ object TraceOps extends QueryModule {
         (col("user_id") % 50).as("src"),
         (col("event_id") % 50).as("dst")).distinct())
 
-  /** Bounded multi-hop trace: anchor = edges from `source`; step joins the
-    * frontier's dst to edges' src. UNION ALL accumulation → per-(hop,edge)
-    * path multiplicity, aggregated at the end.
+  /** One weighted-frontier hop: join the frontier's dst to the edges' src,
+    * then IMMEDIATELY re-aggregate to one row per reached edge, summing the
+    * path counts that arrived there. Path counting is distributive, so this
+    * is bit-identical to enumerating paths as rows — but every hop's state
+    * is bounded by |edges|, not by |paths|. On a hub-heavy transfer graph
+    * the row-per-path frontier grows multiplicatively per hop (|edges|^h
+    * worst case — the fan-out the reference punts on with LIMIT + OOM
+    * retry, app.py:364-383); the weighted frontier never exceeds one row
+    * per edge regardless of multiplicity. TraceFrontierSpec pins the bound
+    * on a complete digraph where path multiplicity is |nodes|^hop. */
+  def step(frontier: DataFrame, edges: DataFrame): DataFrame =
+    frontier.select(col("dst").as("prev_dst"), col("paths"))
+      .join(edges, col("prev_dst") === col("src"))
+      .groupBy("src", "dst").agg(sum(col("paths")).as("paths"))
+
+  /** Bounded multi-hop trace: anchor = edges from `source` (1 path each —
+    * the edge set is distinct); each hop is `step` above, so the per-hop
+    * UNION ALL accumulates already-aggregated (src, dst, paths) rows and
+    * no terminal re-aggregation is needed: (hop, src, dst) is unique by
+    * construction.
     *
     * No broadcast hint on the edge side: a hard-coded `broadcast(e)` is a
     * driver OOM at real edge cardinality. The join strategy is left to the
@@ -68,15 +88,14 @@ object TraceOps extends QueryModule {
     // the same exchange output. TraceSpec pins that the cache registry
     // stays empty after executing j5/j6.
     val e = edges
-    var frontier = e.filter(col("src") === source).withColumn("hop", lit(1))
-    var acc = frontier
+    var frontier = e.filter(col("src") === source)
+      .withColumn("paths", lit(1L))
+    var acc = frontier.withColumn("hop", lit(1))
     for (h <- 2 to maxHops) {
-      frontier = frontier.select(col("dst").as("prev_dst"))
-        .join(e, col("prev_dst") === col("src"))
-        .select(col("src"), col("dst")).withColumn("hop", lit(h))
-      acc = acc.unionByName(frontier)
+      frontier = step(frontier, e)
+      acc = acc.unionByName(frontier.withColumn("hop", lit(h)))
     }
-    acc.groupBy("hop", "src", "dst").agg(count(lit(1)).as("paths"))
+    acc.select(col("hop"), col("src"), col("dst"), col("paths"))
   }
 
   /** J6 — degradation retry: on failure rerun with maxHops=1

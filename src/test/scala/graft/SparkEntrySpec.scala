@@ -72,11 +72,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // two component variants, AnnRecallSpec for the IVF pair (eager
     // because centroid training is a collect), StreamIngestSpec for
     // sessionize_stream (eager because construction runs a streaming
-    // query to completion)
+    // query to completion), SkewSpec for skew_adaptive_join (eager
+    // because hot-key detection samples at construction)
     assert(eager.sorted ==
       Seq("ann_ivf_recall", "ann_ivf_topk", "dup_clusters",
         "graph_cc_components", "graph_cc_logstar", "graph_cc_scale_twin",
-        "sessionize_stream", "split_leakage_safe"),
+        "sessionize_stream", "skew_adaptive_join", "split_leakage_safe"),
       s"new eager query needs its own executing schema spec: $eager")
   }
 }

@@ -373,12 +373,21 @@ class PlanSpec extends SparkSpec {
 
   test("funnel: the shared stage frontiers are computed once — " +
     "ReusedExchange dedupes Catalyst's repeated subtrees at runtime") {
+    // Exchange reuse is a planner heuristic, not a semantic guarantee —
+    // this is a MEASURED-plan pin. Gate it on the conf that enables the
+    // heuristic so a future Spark/conf change fails with an actionable
+    // message instead of a mystery assert.
+    assume(spark.conf.get("spark.sql.exchange.reuse", "true") == "true",
+      "exchange reuse disabled in this session; the dedupe pin does " +
+        "not apply — re-evaluate x29's plan shape if this is permanent")
     val df = graft.SparkEntry.queries("x29_funnel_steps")(spark, sf)
     df.collect() // AQE only finalizes (and reuses) on execution
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"), p.take(300))
     assert(p.contains("ReusedExchange"),
-      "s1/s2 frontier exchanges must dedupe, not recompute\n" +
+      "s1/s2 frontier exchanges must dedupe, not recompute — if a " +
+        "Spark upgrade changed reuse heuristics, verify the frontier " +
+        "subtrees are still byte-identical and update this pin\n" +
         p.take(2000))
   }
 
