@@ -114,8 +114,16 @@ object VectorOps extends QueryModule {
     * 20×6 is the smallest config clearing the ≥0.5 gate floor WITH
     * margin at both scales. The ~28% candidate fraction is a property
     * of this nearly-unclustered fixture (neighbors barely above the
-    * ambient cosine); on a clustered real corpus the same geometry
-    * probes far less because p⁶ separates much harder at cos ≥ 0.7. */
+    * ambient cosine). The clustered regime is MEASURED too (round 9):
+    * on DataGen's `clustered` fixture (label-centered Gaussians,
+    * in-cluster cos ≈0.98 — the shape a real corpus has) the sweep at
+    * 2k and 20k vectors gives recall 1.000 at every grid config, and
+    * the high-bit geometries prune hard: 8×10 probes 3.0%, 8×12 2.1%,
+    * stable across the decade. 8×10 is the pinned clustered-corpus
+    * config (LshClusteredSpec gates recall ≥0.5 at ≤5% candidates);
+    * bits, not tables, is the knob that converts clustering into
+    * pruning — cross-cluster bucket collisions die at ≥10 bits while
+    * in-cluster pairs still agree on nearly every plane. */
   def lshTableBuckets(v: Column, tables: Int = numTables,
       bits: Int = bitsPerTable): Column = {
     val ps = if (tables * bits <= planes.length) planes
