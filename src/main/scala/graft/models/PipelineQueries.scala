@@ -38,6 +38,8 @@ object PipelineQueries extends QueryModule {
     s"${System.getProperty("java.io.tmpdir")}/graft_e2e_fixture_${
       ProcessHandle.current().pid()}"
 
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+
   def all: Seq[Q] = Seq(
     Q("pipeline_e2e_trace_mart",
       (s, _) => {
@@ -50,7 +52,106 @@ object PipelineQueries extends QueryModule {
         Pipeline.readRaw(s, fixtureDir)
           .fctTransactionTraces.drop("trace_sequence")
       },
-      Some(s"""WITH blocks_raw AS (
+      Some(e2eOracle)),
+
+    // The STREAMING twin of the e2e gate: the reference ingests a new
+    // dump per day and full-rebuilds its dbt DAG
+    // (load_data_to_snowflake.sh:109-134 append-load + README.md:14);
+    // this query runs that as CONTINUOUS ingest — a file-source stream
+    // over the arrivals directory (the transactions dump split into two
+    // arrival files = a 2-batch replay), foreachBatch appending each
+    // micro-batch to the staged raw layer and incrementally rebuilding
+    // ONLY the load_date partitions that batch touched via
+    // `Pipeline.writeBuildIncremental`. The final mart is read back
+    // from parquet and gated against the SAME DuckDB oracle as the
+    // batch twin, so the incremental path must converge to exactly the
+    // batch mart (StreamMartSpec additionally pins row-for-row equality
+    // with the batch twin in-process).
+    //
+    // At 100 TB this is the daily-operations shape: each arriving dump
+    // appends one day of raw rows and rewrites one day's partitions;
+    // the stream's state (file-source log + staged raw) grows with the
+    // data, never with the replay count. EAGER by nature: construction
+    // runs the streaming query to completion (AvailableNow), like
+    // sessionize_stream.
+    Q("pipeline_stream_trace_mart",
+      (s, _) => {
+        import org.apache.spark.sql.functions.{col, date_format}
+        graft.util.TempDirs.cleanStale("graft_e2e_fixture_")
+        graft.util.TempDirs.cleanStale("graft_stream_mart_")
+        graft.Fixtures.writeAll(Paths.get(fixtureDir))
+        // per-invocation work dir: the query must be re-runnable within
+        // one JVM (dual-sf Verify, specs) without replaying a stale
+        // file-source log or appending to a previous run's staging
+        val base = graft.util.TempDirs.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/graft_stream_mart_${
+            ProcessHandle.current().pid()}_${ctr.incrementAndGet()}")
+        val arrivals = Paths.get(base, "arrivals")
+        java.nio.file.Files.createDirectories(arrivals)
+        // 2-batch replay: split the transactions dump into two arrival
+        // files, each a valid headered TSV (day-1 and day-2 stand-ins —
+        // the fixture is single-day, so both batches touch the same
+        // partition and the second must cleanly re-derive it)
+        val txPath = Paths.get(fixtureDir,
+          "blockchair_bitcoin_transactions_20250820.tsv")
+        val lines = java.nio.file.Files.readAllLines(txPath)
+        val header = lines.get(0)
+        val rows = scala.jdk.CollectionConverters
+          .ListHasAsScala(lines).asScala.drop(1).toSeq
+        val (b1, b2) = rows.splitAt(math.max(1, rows.size / 2))
+        for ((batch, i) <- Seq(b1, b2).filter(_.nonEmpty).zipWithIndex)
+          java.nio.file.Files.writeString(
+            arrivals.resolve(s"batch_$i.tsv"),
+            (header +: batch).mkString("\n") + "\n")
+        val staged = s"$base/staged_tx"
+        val mart = s"$base/mart"
+        // static sides read exactly as Pipeline.readRaw does; the
+        // transactions side is the stream
+        def rd(token: String, sch: org.apache.spark.sql.types.StructType) =
+          graft.ingest.Tsv.read(s, s"$fixtureDir/*$token*{.tsv,.tsv.gz}",
+            sch)
+        val src = s.readStream
+          .schema(graft.schema.BlockchairSchemas.transactions)
+          .option("sep", "\t").option("header", "true").option("quote", "")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .option("maxFilesPerTrigger", 1)
+          .csv(arrivals.toString)
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              _: Long) =>
+            batch.write.mode("append").parquet(staged)
+            val bld = Pipeline.build(
+              rd("blocks", graft.schema.BlockchairSchemas.blocks),
+              s.read.parquet(staged),
+              rd("inputs", graft.schema.BlockchairSchemas.inputs),
+              rd("outputs", graft.schema.BlockchairSchemas.outputs),
+              rd("addresses", graft.schema.BlockchairSchemas.addresses))
+            // partitions touched by THIS batch = the load dates of the
+            // traces its transactions produce (null tx_time rows ride
+            // the always-in-scope sentinel partition)
+            val touched = bld.fctTransactionTraces
+              .join(batch.select(col("hash").as("transaction_hash"))
+                .distinct(), Seq("transaction_hash"), "left_semi")
+              .select(date_format(col("tx_time"), "yyyyMMdd").as("ld"))
+              .na.drop().distinct()
+              .collect().map(_.getString(0)).toSeq
+            Pipeline.writeBuildIncremental(bld, mart, Some(touched))
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(300000),
+          "streaming mart build did not terminate")
+        finally q.stop()
+        s.read.parquet(s"$mart/fct_transaction_traces")
+          .drop("trace_sequence", "load_date")
+          .localCheckpoint(true)
+      },
+      Some(e2eOracle),
+      eager = true)
+  )
+
+  private lazy val e2eOracle = s"""WITH blocks_raw AS (
           SELECT * FROM read_csv(
             '$fixtureDir/blockchair_bitcoin_blocks_20250820.tsv.gz',
             delim=E'\\t', header=true,
@@ -114,6 +215,5 @@ object PipelineQueries extends QueryModule {
         FROM stg_tx t
         LEFT JOIN stg_blocks b USING (block_id)
         LEFT JOIN stg_inputs i USING (transaction_hash, block_id)
-        LEFT JOIN stg_outputs o USING (transaction_hash, block_id)"""))
-  )
+        LEFT JOIN stg_outputs o USING (transaction_hash, block_id)"""
 }

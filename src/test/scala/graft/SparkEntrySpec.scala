@@ -73,11 +73,14 @@ class SparkEntrySpec extends AnyFunSuite {
     // because centroid training is a collect), StreamIngestSpec for
     // sessionize_stream (eager because construction runs a streaming
     // query to completion), SkewSpec for skew_adaptive_join (eager
-    // because hot-key detection samples at construction)
+    // because hot-key detection samples at construction), StreamMartSpec
+    // for pipeline_stream_trace_mart (eager: construction replays a
+    // 2-batch stream through writeBuildIncremental)
     assert(eager.sorted ==
       Seq("ann_ivf_recall", "ann_ivf_topk", "dup_clusters",
         "graph_cc_components", "graph_cc_logstar", "graph_cc_scale_twin",
-        "sessionize_stream", "skew_adaptive_join", "split_leakage_safe"),
+        "pipeline_stream_trace_mart", "sessionize_stream",
+        "skew_adaptive_join", "split_leakage_safe"),
       s"new eager query needs its own executing schema spec: $eager")
   }
 }
