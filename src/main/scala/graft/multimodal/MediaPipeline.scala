@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * The metadata half of the decode is REAL since round 7: payloads whose
   * bytes carry a PNG/JPEG/GIF container header get their dimensions
   * parsed by [[MediaCodec]] (pure JVM — IHDR / SOF walk / screen
-  * descriptor). Only the pixel/feature kernel remains a clearly-marked
-  * DETERMINISTIC STUB (`decodeStub` — the container has no imaging
-  * libs); the Spark-side plumbing is real and tested throughout: the
+  * descriptor). Since round 9 the PIXEL half is real too for the PNG
+  * subset the fixtures ship ([[pixelStats]]: zlib IDAT inflate, all
+  * five scanline filters, nearest-neighbor resample — all pure JVM).
+  * Only the JPEG/GIF pixel path and the feature kernel remain a
+  * clearly-marked DETERMINISTIC STUB (`decodeStub` — no DCT codec in
+  * the container); the Spark-side plumbing is real and tested: the
   * binary column schema, the typed mapPartitions batch shape (the Scala
   * analog of mapInPandas: one iterator per partition, amortizing
   * per-batch decoder init), partition sizing, and the downstream
@@ -94,6 +97,39 @@ object MediaPipeline {
       else f.copy(
         width = math.max(1, math.round(f.width * scale).toInt),
         height = math.max(1, math.round(f.height * scale).toInt))
+    }
+  }
+
+  final case class PixelStats(doc_id: Long, width: Int, height: Int,
+      mean_intensity: Double, resized_mean: Double)
+
+  /** REAL pixel stage (round 9): payloads that are 8-bit grayscale PNGs
+    * are fully decoded — zlib inflate + all five scanline filters
+    * reversed ([[MediaCodec.decodeGray]]) — and the stats are computed
+    * on the RECONSTRUCTED pixels: mean intensity over the full image,
+    * and mean intensity after a real nearest-neighbor resample to
+    * 16×16 ([[MediaCodec.resizeGrayNearest]]). Rows whose payload is
+    * not a decodable grayscale PNG are dropped (flatMap) — this stage
+    * is the pixel path; the metadata path ([[decode]]) keeps every row.
+    * The `media_pixel_stats` gate builds spec-conformant PNGs from a
+    * formula, so a decode bug anywhere (chunk walk, inflate, any
+    * filter, the resample arithmetic) breaks the DuckDB hash. Same
+    * mapPartitions batch shape as [[decode]]: decoder state per
+    * partition, pure iterator map, no collect. */
+  def pixelStats(spark: SparkSession, media: DataFrame): Dataset[PixelStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      def mean(p: Array[Byte]): Double = {
+        var s = 0L; var i = 0
+        while (i < p.length) { s += p(i) & 0xFF; i += 1 }
+        s.toDouble / p.length
+      }
+      rows.flatMap { r =>
+        MediaCodec.decodeGray(r.payload).map { case (w, h, px) =>
+          PixelStats(r.doc_id, w, h, mean(px),
+            mean(MediaCodec.resizeGrayNearest(px, w, h, 16, 16)))
+        }
+      }
     }
   }
 

@@ -312,6 +312,64 @@ object VectorOps extends QueryModule {
               CAST(16 + (doc_id * 7) % 480 AS INT) AS height,
               CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 17 END
                 + octet_length(CAST(text AS BLOB)) AS INT) AS media_bytes
-              FROM documents"""))
+              FROM documents""")),
+
+    // ---- REAL pixel decode under the hash gate: build a
+    //      spec-conformant 8-bit grayscale PNG per doc from a pixel
+    //      formula (pixel i = (doc_id·31 + i·7) mod 256; row y carries
+    //      scanline filter y mod 5, so every filter type is exercised),
+    //      run it through the FULL decode path — chunk walk, zlib
+    //      inflate, defilter — then compute mean intensity on the
+    //      reconstructed pixels and again after a real 16×16
+    //      nearest-neighbor resample. The oracle recomputes both means
+    //      from the generating formula (src index = dst·src/16 integer
+    //      division, mirrored exactly), so a bug anywhere in the codec
+    //      or resample arithmetic breaks the hash. Exact-parity note:
+    //      each mean is an exact integer sum over ≤1024 pixels divided
+    //      once in double — IEEE-identical across engines, then
+    //      ROUND(6).
+    Q("media_pixel_stats",
+      (s, d) => {
+        import s.implicits._
+        val payloads = documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = 8 + (id % 25).toInt
+            val h = 8 + ((id * 3) % 25).toInt
+            graft.multimodal.MediaPipeline.MediaRow(id,
+              graft.multimodal.MediaCodec.pngGray(w, h,
+                i => ((id * 31 + i.toLong * 7) % 256).toInt))
+          }.toDF()
+        graft.multimodal.MediaPipeline.pixelStats(s, payloads).toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            round(col("mean_intensity"), 6).as("mean_intensity"),
+            round(col("resized_mean"), 6).as("resized_mean"))
+      },
+      Some("""WITH dims AS (
+                SELECT doc_id,
+                  CAST(8 + doc_id % 25 AS INT) AS w,
+                  CAST(8 + (doc_id * 3) % 25 AS INT) AS h
+                FROM documents),
+              -- dims are bounded at 32x32, so a constant 0..1023 series
+              -- theta-joined on i < w*h enumerates each image's pixels
+              -- (generate_series cannot take correlated arguments)
+              full_px AS (
+                SELECT d.doc_id, d.w, d.h,
+                  AVG(CAST((d.doc_id * 31 + g.i * 7) % 256 AS DOUBLE))
+                    AS mi
+                FROM dims d JOIN generate_series(0, 1023) AS g(i)
+                  ON g.i < CAST(d.w AS BIGINT) * d.h
+                GROUP BY 1, 2, 3),
+              rs AS (
+                SELECT d.doc_id,
+                  AVG(CAST((d.doc_id * 31 +
+                      (((g.j // 16) * d.h // 16) * d.w
+                        + ((g.j % 16) * d.w // 16)) * 7) % 256 AS DOUBLE))
+                    AS rmi
+                FROM dims d CROSS JOIN generate_series(0, 255) AS g(j)
+                GROUP BY 1)
+              SELECT f.doc_id, f.w AS width, f.h AS height,
+                ROUND(f.mi, 6) AS mean_intensity,
+                ROUND(rs.rmi, 6) AS resized_mean
+              FROM full_px f JOIN rs USING (doc_id)"""))
   )
 }

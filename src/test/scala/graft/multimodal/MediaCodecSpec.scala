@@ -99,4 +99,42 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.parseDims(Array.emptyByteArray).isEmpty)
     assert(MediaCodec.parseDims(Array[Byte](0x00, 0x01, 0x02)).isEmpty)
   }
+
+  test("grayscale PNG pixel round-trip: every scanline filter decodes " +
+    "back to the exact source pixels") {
+    // heights ≥ 5 force all five filters (encoder assigns y % 5); the
+    // gradient+noise pixel function makes each filter's delta nontrivial
+    for ((w, h) <- Seq((1, 1), (3, 7), (16, 16), (25, 32), (128, 5))) {
+      def pixel(i: Int): Int = (i * 31 + (i * i) % 97) % 256
+      val bytes = MediaCodec.pngGray(w, h, pixel)
+      // builder output is also a valid header for the metadata path
+      assert(MediaCodec.parseDims(bytes)
+        .contains(MediaCodec.Dims("png", w, h)))
+      val Some((dw, dh, px)) = MediaCodec.decodeGray(bytes)
+      assert((dw, dh) == (w, h))
+      assert(px.length == w * h)
+      assert((0 until w * h).forall(i => (px(i) & 0xFF) == pixel(i)),
+        s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("decodeGray rejects what it cannot faithfully decode") {
+    // truecolor header (the pngBytes builder) is NOT grayscale
+    assert(MediaCodec.decodeGray(MediaCodec.pngBytes(4, 4, body)).isEmpty)
+    // truncated IDAT: drop the tail of a valid image
+    val ok = MediaCodec.pngGray(16, 16, i => i % 256)
+    assert(MediaCodec.decodeGray(ok.dropRight(20)).isEmpty)
+    assert(MediaCodec.decodeGray("not a png".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("nearest-neighbor resample matches the index formula (and is " +
+    "identity at same size)") {
+    val w = 10; val h = 6
+    val px = Array.tabulate(w * h)(i => (i % 256).toByte)
+    assert(MediaCodec.resizeGrayNearest(px, w, h, w, h).toSeq == px.toSeq)
+    val r = MediaCodec.resizeGrayNearest(px, w, h, 4, 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((r(y * 4 + x) & 0xFF) ==
+        (px((y * h / 3) * w + (x * w / 4)) & 0xFF))
+  }
 }
