@@ -12,10 +12,10 @@ import graft.ops._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
-      Extensions, PortableHashOps, ClassicQueries, ClassicQueries2,
-      RecallOps, CorpusOps, GraphOps, graft.streaming.StreamQueries,
-      graft.models.PipelineQueries)
+    Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, MediaOps,
+      ScaleOps, BloomOps, Extensions, PortableHashOps, ClassicQueries,
+      ClassicQueries2, RecallOps, CorpusOps, GraphOps,
+      graft.streaming.StreamQueries, graft.models.PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The recursive multi-hop trace is the reference's flagship

@@ -350,7 +350,7 @@ object VectorOps extends QueryModule {
                   CAST(8 + (doc_id * 3) % 25 AS INT) AS h
                 FROM documents),
               -- dims are bounded at 32x32, so a constant 0..1023 series
-              -- theta-joined on i < w*h enumerates each image's pixels
+              -- theta-joined on i < w*h enumerates every image pixel
               -- (generate_series cannot take correlated arguments)
               full_px AS (
                 SELECT d.doc_id, d.w, d.h,

@@ -7,10 +7,10 @@ import graft.ops._
 class SparkEntrySpec extends AnyFunSuite {
 
   private val modules: Seq[QueryModule] =
-    Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, ScaleOps,
-      Extensions, PortableHashOps, ClassicQueries, ClassicQueries2,
-      RecallOps, CorpusOps, GraphOps, graft.streaming.StreamQueries,
-      graft.models.PipelineQueries)
+    Seq(Relational, TraceOps, DomainModels, TextOps, VectorOps, MediaOps,
+      ScaleOps, BloomOps, Extensions, PortableHashOps, ClassicQueries,
+      ClassicQueries2, RecallOps, CorpusOps, GraphOps,
+      graft.streaming.StreamQueries, graft.models.PipelineQueries)
 
   test("no duplicate query keys across modules (a collision would " +
     "silently drop an operator from the gate)") {
@@ -75,9 +75,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // query to completion), SkewSpec for skew_adaptive_join (eager
     // because hot-key detection samples at construction), StreamMartSpec
     // for pipeline_stream_trace_mart (eager: construction replays a
-    // 2-batch stream through writeBuildIncremental)
+    // 2-batch stream through writeBuildIncremental), BloomOpsSpec for
+    // the bloom pair (eager because pass 1 — the filter build — is a
+    // treeAggregate job)
     assert(eager.sorted ==
-      Seq("ann_ivf_recall", "ann_ivf_topk", "dup_clusters",
+      Seq("ann_ivf_recall", "ann_ivf_topk", "bloom_prune_stats",
+        "bloom_pruned_join", "dup_clusters",
         "graph_cc_components", "graph_cc_logstar", "graph_cc_scale_twin",
         "pipeline_stream_trace_mart", "sessionize_stream",
         "skew_adaptive_join", "split_leakage_safe"),
