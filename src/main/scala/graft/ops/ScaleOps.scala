@@ -288,6 +288,75 @@ object ScaleOps extends QueryModule {
         }
       },
       None,
-      eager = true)
+      eager = true),
+
+    // ---- Persisted mergeable-sketch mart: the incremental COUNT
+    //      DISTINCT shape for 100 TB. approx_count_distinct answers one
+    //      query and throws its state away; a DataSketches HLL sketch
+    //      column (hll_sketch_agg) is a ~KB binary VALUE that survives a
+    //      parquet round-trip and unions losslessly (hll_union_agg), so
+    //      a daily job sketches only ITS day and any window's distinct
+    //      count is a union over stored rows — no re-scan of history.
+    //      (Reference behavior generalized: the daily append-load
+    //      load_data_to_snowflake.sh:109-134 recomputes dashboard
+    //      distincts from full history each day.)
+    //
+    //      Rows-only-as-GATE (the a2/quality-gate shape): the one
+    //      summary row is emitted ONLY when (a) the mergeability
+    //      invariant holds EXACTLY — estimate over the union of per-day
+    //      sketches equals estimate over one global sketch of the same
+    //      lgK (HLL register state is a per-register max, so
+    //      partitioning the input must not change it; any difference
+    //      means the mart path corrupted a sketch) — and (b) the
+    //      estimate lands within 5% of the exact distinct (lgK=12 rsd
+    //      is ~1.6%, so 5% only trips on real regressions, not
+    //      estimator variance). Exact twin is a pre-deduped plain
+    //      count — no Expand (the a2 round-8 lesson). SketchMartSpec
+    //      pins the parquet round-trip and the day-N+1 incremental
+    //      union on real files.
+    Q("sketch_mart_users",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val merged = dailyUserSketches(ev)
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"))
+        val global = ev.agg(hll_sketch_estimate(
+          hll_sketch_agg(col("user_id"), SketchLgK)).as("g"))
+        val exact = ev.select("user_id").distinct()
+          .agg(count(lit(1)).as("exact_users"))
+        merged.crossJoin(global).crossJoin(exact)
+          .select(col("n_days"), col("exact_users"),
+            col("m").cast("long").as("merged_est"),
+            col("g").cast("long").as("global_est"),
+            round(abs(col("m") - col("exact_users")) /
+              col("exact_users"), 6).as("rel_err"))
+          .filter(col("merged_est") === col("global_est") &&
+            col("rel_err") <= 0.05)
+      },
+      None),
+
+    // ---- The per-day exact readout a user runs today (and the mart's
+    //      correctness anchor): oracle-gated daily distinct users.
+    Q("sketch_daily_exact",
+      (s, d) => events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("day").agg(count_distinct(col("user_id")).as("n_users")),
+      Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+              COUNT(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1"""))
   )
+
+  /** lgConfigK for every sketch in the mart — union requires one
+    * config; 2^12 registers ≈ 1.6% rsd at ~4 KB per sketch row. */
+  val SketchLgK = 12
+
+  /** The mart build: one HLL sketch row per day. The output column is a
+    * plain BINARY — writable to parquet, unionable after read-back
+    * (SketchMartSpec round-trips it). At 100 TB this is the daily
+    * incremental job; `sketch_mart_users` composes it lazily for the
+    * gate. */
+  def dailyUserSketches(ev: DataFrame): DataFrame =
+    ev.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), SketchLgK).as("sk"))
 }
