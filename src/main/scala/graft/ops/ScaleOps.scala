@@ -301,7 +301,7 @@ object ScaleOps extends QueryModule {
     //      load_data_to_snowflake.sh:109-134 recomputes dashboard
     //      distincts from full history each day.)
     //
-    //      Rows-only-as-GATE (the a2/quality-gate shape): the one
+    //      Threshold-as-GATE (the a2/quality-gate shape): the one
     //      summary row is emitted ONLY when (a) the mergeability
     //      invariant holds EXACTLY — estimate over the union of per-day
     //      sketches equals estimate over one global sketch of the same
@@ -331,6 +331,19 @@ object ScaleOps extends QueryModule {
             col("g").cast("long").as("global_est"),
             round(abs(col("m") - col("exact_users")) /
               col("exact_users"), 6).as("rel_err"))
+          // Estimator-path coupling (deliberate, and load-bearing for
+          // the === below): register state is partition-invariant, but
+          // the EQUALITY additionally relies on both arms resolving
+          // their estimate through the same DataSketches path — the
+          // union arm is hll_union_agg (out-of-order flag set →
+          // composite estimator), and hll_sketch_agg's partial/final
+          // merge ALSO routes through Union, so the direct arm reads
+          // composite too. If a future plan change ever ran the global
+          // aggregate in complete mode (no merge step), the direct
+          // sketch would keep its HIP estimator and could legitimately
+          // differ by a few counts — that would be a planner-path
+          // change, NOT sketch corruption; relax to register-state /
+          // serialized-bytes comparison before touching the mart code.
           .filter(col("merged_est") === col("global_est") &&
             col("rel_err") <= 0.05)
       },
@@ -344,7 +357,90 @@ object ScaleOps extends QueryModule {
         .groupBy("day").agg(count_distinct(col("user_id")).as("n_users")),
       Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
               COUNT(DISTINCT user_id) AS n_users
-              FROM events GROUP BY 1"""))
+              FROM events GROUP BY 1""")),
+
+    // ---- KLL quantile mart (the quantile pair of sketch_mart_users):
+    //      the per-language quality gate (quality_quantile_filter)
+    //      re-scans ALL history for an exact p25 at every run — at
+    //      100 TB the incremental shape is one mergeable quantile
+    //      sketch per history partition ((lang, source) here; ingest
+    //      day × lang in production), persisted as a BINARY parquet
+    //      column and UNIONED per window instead of re-scanned
+    //      (functions/KllQuantile.scala; KllMartSpec round-trips the
+    //      parquet and the day-N+1 fold).
+    //
+    //      Threshold-as-GATE, with a DIFFERENT invariant than the HLL
+    //      mart — deliberately. HLL register state is order-invariant,
+    //      so merged ≡ direct holds exactly; KLL compaction is
+    //      randomized, so merged and direct sketches legitimately
+    //      retain different samples and estimate equality would be a
+    //      false gate. What KLL guarantees through ANY merge tree, and
+    //      what this row vanishes on:
+    //        (a) EXACT mass + range conservation: union-of-parts n /
+    //            min / max equal the ungrouped exact count / min / max
+    //            per language (a lost or duplicated sketch row breaks
+    //            n; a corrupted serialization breaks min/max);
+    //        (b) rank contract, tie-robustly: for the value v the
+    //            merged (and the direct) sketch returns at rank 0.25,
+    //            frac(q <= v) >= 0.25 - 0.02 AND frac(q < v) <=
+    //            0.25 + 0.02. This brackets v's true rank SPAN instead
+    //            of point-comparing frac(q <= v) to 0.25, which ties
+    //            in the rounded scores would break (a value holding
+    //            30% of the mass straddling p25 is the CORRECT answer
+    //            with frac(q <= v) ≈ 0.55). k=400 → rank ε ≈ 0.9% at
+    //            99% confidence, so 0.02 has no realistic flake
+    //            budget; merging never degrades the bound.
+    Q("kll_mart_quality",
+      (s, d) => {
+        val kll = graft.functions.KllQuantile
+        val scored = documents(s, d).select(col("lang"), col("source"),
+          round(TextOps.qualityScore(TextOps.tokens(col("text"))), 6)
+            .as("q"))
+        val merged = qualitySketchMart(scored).groupBy("lang")
+          .agg(udaf(kll.unionSummaryAgg(0.25)).apply(col("sk")).as("m"))
+        val direct = scored.groupBy("lang")
+          .agg(udaf(kll.valueSummaryAgg(0.25)).apply(col("q")).as("g"))
+        val exact = scored.groupBy("lang")
+          .agg(count(lit(1)).as("n_e"), min("q").as("min_e"),
+            max("q").as("max_e"))
+        val thr = merged.join(direct, "lang").join(exact, "lang")
+          .select(col("lang"), col("m.n").as("n_m"),
+            col("m.min").as("min_m"), col("m.max").as("max_m"),
+            col("m.quantile").as("q25_m"), col("g.quantile").as("q25_g"),
+            col("n_e"), col("min_e"), col("max_e"))
+        // Exact rank span of each arm's returned value, per language —
+        // thr is one row per language: broadcast it back over the
+        // scored corpus (the same broadcast-threshold join shape as
+        // quality_quantile_filter).
+        val ranks = scored
+          .join(broadcast(thr.select("lang", "q25_m", "q25_g")), Seq("lang"))
+          .groupBy("lang").agg(
+            avg(when(col("q") < col("q25_m"), 1.0).otherwise(0.0))
+              .as("lo_m"),
+            avg(when(col("q") <= col("q25_m"), 1.0).otherwise(0.0))
+              .as("hi_m"),
+            avg(when(col("q") < col("q25_g"), 1.0).otherwise(0.0))
+              .as("lo_g"),
+            avg(when(col("q") <= col("q25_g"), 1.0).otherwise(0.0))
+              .as("hi_g"))
+        val eps = 0.02
+        thr.join(ranks, "lang")
+          .withColumn("ok",
+            col("n_m") === col("n_e") && col("min_m") === col("min_e") &&
+            col("max_m") === col("max_e") &&
+            col("hi_m") >= 0.25 - eps && col("lo_m") <= 0.25 + eps &&
+            col("hi_g") >= 0.25 - eps && col("lo_g") <= 0.25 + eps)
+          .agg(count(lit(1)).as("n_langs"),
+            round(max(greatest(lit(0.25) - col("hi_m"),
+              col("lo_m") - lit(0.25), lit(0.0))), 6)
+              .as("max_rank_err_merged"),
+            round(max(greatest(lit(0.25) - col("hi_g"),
+              col("lo_g") - lit(0.25), lit(0.0))), 6)
+              .as("max_rank_err_direct"),
+            sum(when(col("ok"), 0L).otherwise(1L)).as("violations"))
+          .filter(col("violations") === 0)
+      },
+      None)
   )
 
   /** lgConfigK for every sketch in the mart — union requires one
@@ -359,4 +455,15 @@ object ScaleOps extends QueryModule {
   def dailyUserSketches(ev: DataFrame): DataFrame =
     ev.groupBy("day")
       .agg(hll_sketch_agg(col("user_id"), SketchLgK).as("sk"))
+
+  /** The quantile-mart build: one KLL sketch per (lang, source) — the
+    * history-partition granularity of the `documents` fixture; in
+    * production the key is (ingest_day, lang). The output column is a
+    * plain BINARY — parquet-writable, unionable after read-back
+    * (KllMartSpec round-trips it). `scored` must carry (lang, source,
+    * q). */
+  def qualitySketchMart(scored: DataFrame): DataFrame =
+    scored.groupBy("lang", "source")
+      .agg(udaf(graft.functions.KllQuantile.sketchAgg())
+        .apply(col("q")).as("sk"))
 }

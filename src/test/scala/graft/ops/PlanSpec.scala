@@ -384,11 +384,20 @@ class PlanSpec extends SparkSpec {
     df.collect() // AQE only finalizes (and reuses) on execution
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"), p.take(300))
-    assert(p.contains("ReusedExchange"),
-      "s1/s2 frontier exchanges must dedupe, not recompute — if a " +
-        "Spark upgrade changed reuse heuristics, verify the frontier " +
-        "subtrees are still byte-identical and update this pin\n" +
-        p.take(2000))
+    // The semantic property is the COUNT of exchanges the plan
+    // materializes, not the presence of a ReusedExchange node (that
+    // node is one mechanism; a future planner could equally dedupe by
+    // merging subtrees before planning). Today the deduped plan
+    // materializes 17 exchanges and reuses 2 — a reuse-free plan
+    // recomputes the shared s1/s2 frontier subtrees and lands at 19+.
+    // Pin "no recompute" as the count bound, so a Spark bump that
+    // dedupes DIFFERENTLY stays green and one that stops deduping
+    // fails for the real reason (shared frontiers executed twice).
+    val materialized = "(?m)(?<!Reused)Exchange ".r.findAllIn(p).size
+    assert(materialized <= 17,
+      s"funnel materializes $materialized exchanges (> 17): the shared " +
+        "s1/s2 frontier subtrees are being recomputed instead of " +
+        "deduped\n" + p.take(2000))
   }
 
   test("retention: scan pruned to (ts, user_id); COUNT(DISTINCT) is the " +

@@ -57,6 +57,13 @@ class SketchMartSpec extends SparkSpec {
   test("incremental union: last day folded into a stored union of " +
     "prior days equals the from-scratch union") {
     val daily = ScaleOps.dailyUserSketches(ev).localCheckpoint(true)
+    // With a single distinct day, `prior` aggregates zero input rows →
+    // hll_union_agg yields one null-sketch row and the test's meaning
+    // (fold a new day into stored history) silently vanishes. Fail the
+    // FIXTURE loudly instead of passing on the degenerate shape.
+    assert(daily.count() >= 2,
+      "fixture must span >= 2 distinct days for the incremental-union " +
+        "test to exercise a real fold; regenerate sf0.001 or widen ts")
     val lastDay = daily.agg(max("day")).head().getDate(0)
     val prior = daily.filter(col("day") < lit(lastDay))
       .agg(hll_union_agg(col("sk")).as("sk")) // the stored history union
