@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * parsed by [[MediaCodec]] (pure JVM — IHDR / SOF walk / screen
   * descriptor). Since round 9 the PIXEL half is real too for the PNG
   * subset the fixtures ship ([[pixelStats]]: zlib IDAT inflate, all
-  * five scanline filters, nearest-neighbor resample — all pure JVM).
-  * Only the JPEG/GIF pixel path and the feature kernel remain a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub` — no DCT codec in
-  * the container); the Spark-side plumbing is real and tested: the
+  * five scanline filters, nearest-neighbor resample — all pure JVM),
+  * plus GIF frames (LZW) and WAV samples (PCM16); round 10 adds
+  * baseline JPEG ([[JpegCodec]]: DCT/Huffman both directions), so all
+  * four container formats decode real pixels/samples. Only the feature
+  * kernel remains a clearly-marked DETERMINISTIC STUB (`decodeStub` —
+  * no embedding model in the container); the Spark-side plumbing is
+  * real and tested: the
   * binary column schema, the typed mapPartitions batch shape (the Scala
   * analog of mapInPandas: one iterator per partition, amortizing
   * per-batch decoder init), partition sizing, and the downstream
@@ -103,17 +106,20 @@ object MediaPipeline {
   final case class PixelStats(doc_id: Long, width: Int, height: Int,
       mean_intensity: Double, resized_mean: Double)
 
-  /** REAL pixel stage (round 9): payloads that are 8-bit grayscale PNGs
-    * are fully decoded — zlib inflate + all five scanline filters
-    * reversed ([[MediaCodec.decodeGray]]) — and the stats are computed
-    * on the RECONSTRUCTED pixels: mean intensity over the full image,
-    * and mean intensity after a real nearest-neighbor resample to
-    * 16×16 ([[MediaCodec.resizeGrayNearest]]). Rows whose payload is
-    * not a decodable grayscale PNG are dropped (flatMap) — this stage
-    * is the pixel path; the metadata path ([[decode]]) keeps every row.
-    * The `media_pixel_stats` gate builds spec-conformant PNGs from a
-    * formula, so a decode bug anywhere (chunk walk, inflate, any
-    * filter, the resample arithmetic) breaks the DuckDB hash. Same
+  /** REAL pixel stage (round 9; JPEG added round 10): payloads that are
+    * 8-bit grayscale PNGs are fully decoded — zlib inflate + all five
+    * scanline filters reversed ([[MediaCodec.decodeGray]]) — and
+    * baseline grayscale JPEGs likewise (Huffman entropy decode +
+    * dequantize + IDCT, [[JpegCodec.decodeGray]]); the stats are
+    * computed on the RECONSTRUCTED pixels: mean intensity over the full
+    * image, and mean intensity after a real nearest-neighbor resample
+    * to 16×16 ([[MediaCodec.resizeGrayNearest]]). Rows whose payload is
+    * neither are dropped (flatMap) — this stage is the pixel path; the
+    * metadata path ([[decode]]) keeps every row. The
+    * `media_pixel_stats` / `jpeg_pixel_stats` gates build
+    * spec-conformant containers from a formula, so a decode bug
+    * anywhere (chunk walk, inflate, any filter, the Huffman tables,
+    * the IDCT, the resample arithmetic) breaks the DuckDB hash. Same
     * mapPartitions batch shape as [[decode]]: decoder state per
     * partition, pure iterator map, no collect. */
   def pixelStats(spark: SparkSession, media: DataFrame): Dataset[PixelStats] = {
@@ -125,10 +131,12 @@ object MediaPipeline {
         s.toDouble / p.length
       }
       rows.flatMap { r =>
-        MediaCodec.decodeGray(r.payload).map { case (w, h, px) =>
-          PixelStats(r.doc_id, w, h, mean(px),
-            mean(MediaCodec.resizeGrayNearest(px, w, h, 16, 16)))
-        }
+        MediaCodec.decodeGray(r.payload)
+          .orElse(JpegCodec.decodeGray(r.payload))
+          .map { case (w, h, px) =>
+            PixelStats(r.doc_id, w, h, mean(px),
+              mean(MediaCodec.resizeGrayNearest(px, w, h, 16, 16)))
+          }
       }
     }
   }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.multimodal.{AudioCodec, GifCodec, MediaPipeline}
+import graft.multimodal.{AudioCodec, GifCodec, JpegCodec, MediaPipeline}
 
 /** Audio + video multimodal queries (north-star extensions; the image
   * tier lives in [[VectorOps]]). Both tiers follow the round-8/9
@@ -126,6 +126,69 @@ object MediaOps extends QueryModule {
                 GROUP BY 1, 2, 3, 4)
               SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width,
                 h AS height, ROUND(mi, 6) AS mean_intensity
-              FROM px"""))
+              FROM px""")),
+
+    // ---- REAL baseline-JPEG decode under the hash gate (round 10 —
+    //      the last header-only format goes real). JPEG is LOSSY, so
+    //      the formula-oracle recipe needs images whose decode is
+    //      bit-exact by construction: each image is CONSTANT per 8×8
+    //      block (w = 8·(1 + doc_id % 4), h = 8·(1 + (doc_id·3) % 4),
+    //      block value v(bx,by) = (doc_id·37 + bx·17 + by·29) mod 256).
+    //      A constant block carries only its DC coefficient 8·(v−128);
+    //      with the DC quant entry at 8 it quantizes losslessly and the
+    //      DC-only IDCT is the exact constant v−128 in IEEE double —
+    //      so the decoded pixels equal the formula and DuckDB can
+    //      recompute both means. The encode still rides the full
+    //      baseline pipeline (per-block DC diffs span the Huffman size
+    //      categories, EOB coding, zigzag, both transforms, byte
+    //      stuffing); the LOSSY general path is cross-checked against
+    //      the JDK's ImageIO codec in JpegCodecSpec. Resample mirror:
+    //      src index = dst·src/16 integer division, then block index =
+    //      src/8 — same recipe as `media_pixel_stats`.
+    Q("jpeg_pixel_stats",
+      (s, d) => {
+        import s.implicits._
+        val payloads = documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = 8 * (1 + (id % 4)).toInt
+            val h = 8 * (1 + ((id * 3) % 4)).toInt
+            MediaPipeline.MediaRow(id, JpegCodec.encodeGray(w, h, { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              ((id * 37 + bx * 17L + by * 29L) % 256).toInt
+            }))
+          }.toDF()
+        MediaPipeline.pixelStats(s, payloads).toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            round(col("mean_intensity"), 6).as("mean_intensity"),
+            round(col("resized_mean"), 6).as("resized_mean"))
+      },
+      Some("""WITH dims AS (
+                SELECT doc_id,
+                  CAST(1 + doc_id % 4 AS INT) AS nbx,
+                  CAST(1 + (doc_id * 3) % 4 AS INT) AS nby
+                FROM documents),
+              -- blocks are equal-sized (dims are multiples of 8), so the
+              -- pixel mean equals the mean over block values
+              full_px AS (
+                SELECT d.doc_id, d.nbx * 8 AS w, d.nby * 8 AS h,
+                  AVG(CAST((d.doc_id * 37 + gx.bx * 17 + gy.by * 29) % 256
+                    AS DOUBLE)) AS mi
+                FROM dims d
+                JOIN generate_series(0, 3) AS gx(bx) ON gx.bx < d.nbx
+                JOIN generate_series(0, 3) AS gy(by) ON gy.by < d.nby
+                GROUP BY 1, 2, 3),
+              rs AS (
+                SELECT d.doc_id,
+                  AVG(CAST((d.doc_id * 37
+                    + (((g.j % 16) * (d.nbx * 8) // 16) // 8) * 17
+                    + (((g.j // 16) * (d.nby * 8) // 16) // 8) * 29) % 256
+                    AS DOUBLE)) AS rmi
+                FROM dims d CROSS JOIN generate_series(0, 255) AS g(j)
+                GROUP BY 1)
+              SELECT f.doc_id, CAST(f.w AS INT) AS width,
+                CAST(f.h AS INT) AS height,
+                ROUND(f.mi, 6) AS mean_intensity,
+                ROUND(rs.rmi, 6) AS resized_mean
+              FROM full_px f JOIN rs USING (doc_id)"""))
   )
 }
