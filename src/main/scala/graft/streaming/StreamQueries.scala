@@ -104,10 +104,15 @@ object StreamQueries extends QueryModule {
 
     // EAGER by nature: constructing the result RUNS a streaming query
     // (AvailableNow processes every file, then the no-data batch fires
-    // the event-time timeouts at watermark = max ts − delay). The
-    // memory-sink table is copied out via localCheckpoint and the view
-    // dropped, so nothing stays registered; no SQL cache is pinned
-    // (StreamIngestSpec pins schema + cache hygiene).
+    // the event-time timeouts at watermark = max ts − delay). The sink
+    // is a FILE sink read back as a DataFrame — executor-side all the
+    // way. It was a memory sink until round 10's fourth scaling decade
+    // killed it: memory-sink rows serialize to the DRIVER, and at sf30
+    // the session set crossed spark.driver.maxResultSize (1054 MiB >
+    // 1 GiB) — exactly the collect-shaped scale bug this repo bans
+    // elsewhere. The file sink keeps the driver holding only file
+    // metadata at any sf; no SQL cache is pinned and nothing stays
+    // registered (StreamIngestSpec pins schema + cache hygiene).
     Q("sessionize_stream",
       (s, d) => {
         // Stage the (truncated) events as ONE parquet file in a
@@ -136,16 +141,20 @@ object StreamQueries extends QueryModule {
         val sess = StreamIngest.sessionizeWithState(
           s, src, "ts", delay = "1 minute", gapMs = gapMs)
         val qn = s"graft_gate_sessions_${ctr.incrementAndGet()}"
-        val q = sess.writeStream.format("memory").queryName(qn)
+        val outDir = graft.util.TempDirs.deleteOnExit(s"${stage}_out_$qn")
+        val ckptDir = graft.util.TempDirs.deleteOnExit(s"${stage}_ckpt_$qn")
+        val q = sess.writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckptDir)
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .start()
         try require(q.awaitTermination(300000),
           "streaming sessionization did not terminate")
         finally q.stop()
-        val out = s.table(qn).localCheckpoint(true)
-        s.catalog.dropTempView(qn)
-        out
+        // explicit schema: a zero-session run leaves only the sink's
+        // metadata log, which a schemaless read would refuse
+        s.read.schema(sess.schema).parquet(outDir)
       },
       Some(closedSessionsOracle),
       eager = true)
