@@ -77,8 +77,8 @@ object VectorOps extends QueryModule {
     * almost never collides true neighbors of weakly-correlated vectors
     * (p_agree^8 ≈ 0); the standard fix is several narrower tables — a
     * candidate matches if it shares ANY table's bucket. */
-  private[ops] val numTables = 20
-  private[ops] val bitsPerTable = 6
+  private[graft] val numTables = 20
+  private[graft] val bitsPerTable = 6
   private val dims = 64
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 fold of
@@ -92,7 +92,7 @@ object VectorOps extends QueryModule {
       (math.floorMod(graft.functions.SplitMix.mix(p.toLong * dims + i),
         1000L) / 1000.0) - 0.5))
 
-  private[ops] val planes: Seq[Seq[Double]] =
+  private[graft] val planes: Seq[Seq[Double]] =
     planesFor(numTables * bitsPerTable)
 
   /** Random-hyperplane sign bucket of an array<double> vector (first 8
@@ -102,11 +102,20 @@ object VectorOps extends QueryModule {
       when(dot(v, typedLit(w)) > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (table, bucket) pairs for the multi-table index: table t hashes with
-    * planes [t*b, (t+1)*b). The default geometry is measured, not
-    * guessed: the fixture's true top-10 neighbors sit at cos 0.24–0.42
-    * (sign-agreement p = 1 − θ/π ≈ 0.59–0.64 per bit), so a 6-bit table
-    * collides a true neighbor with p⁶ ≈ 0.05 and L tables give recall
+  /** Per-table bucket ids for the multi-table index: element t of the
+    * result hashes with planes [t*b, (t+1)*b). Computed by the fused
+    * [[graft.functions.LshTableBuckets]] kernel — one codegen call,
+    * constant generated-code size in the geometry. The compositional
+    * when/dot form it replaces is kept below (bit-identical, pinned in
+    * LshExprsSpec) because at 20×6 it inlined 120 literal arrays into
+    * the expression tree and pushed any stage fused with a downstream
+    * join off the compiled path — a measured 80× cliff at sf10
+    * (97.8 s → 1.2 s for the identical join; graft.LshDiag, round 10).
+    *
+    * The default geometry is measured, not guessed: the fixture's true
+    * top-10 neighbors sit at cos 0.24–0.42 (sign-agreement
+    * p = 1 − θ/π ≈ 0.59–0.64 per bit), so a 6-bit table collides a
+    * true neighbor with p⁶ ≈ 0.05 and L tables give recall
     * ≈ 1 − (1 − p⁶)^L. `graft.LshSweep` measures the grid at both test
     * scales (recall at sf0.01/sf0.1, candidate fraction ~equal at both):
     * 8×6 (round-6 config) 0.26/0.34 probing ~13%; 16×6 0.50/0.64
@@ -128,19 +137,41 @@ object VectorOps extends QueryModule {
       bits: Int = bitsPerTable): Column = {
     val ps = if (tables * bits <= planes.length) planes
       else planesFor(tables * bits)
+    graft.functions.LshExprs.lshTableBuckets(v, ps, tables, bits)
+  }
+
+  /** The compositional form of [[lshTableBuckets]] — semantically the
+    * spec for the fused kernel (LshExprsSpec pins them bit-identical,
+    * including null-element and wrong-dimension vectors), physically
+    * retired from the query path (see the cliff note above). Returns
+    * the same array<long>-by-table shape. */
+  private[graft] def lshTableBucketsCompositional(v: Column,
+      tables: Int = numTables, bits: Int = bitsPerTable): Column = {
+    val ps = if (tables * bits <= planes.length) planes
+      else planesFor(tables * bits)
     array((0 until tables).map { t =>
-      val bucket = (0 until bits).map { j =>
+      (0 until bits).map { j =>
         when(dot(v, typedLit(ps(t * bits + j))) > 0.0,
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("b"))
     }: _*)
   }
 
-  /** Distinct LSH candidate pairs (query_id, vec_id, vectors, norms) for
-    * a given geometry — the sub-linear core of [[lshTopK]], exposed so
-    * `graft.LshSweep` can measure candidate fraction per config through
-    * the production code path. */
+  /** Distinct scored LSH candidate pairs (query_id, vec_id, cos_raw)
+    * for a given geometry — the sub-linear core of [[lshTopK]], exposed
+    * so `graft.LshSweep` can measure candidate fraction per config
+    * through the production code path.
+    *
+    * Shape notes (round-10 rework): the corpus side explodes to
+    * (vec_id, table, bucket) and broadcast-joins the query side's
+    * buckets — no corpus shuffle. Scoring happens BEFORE the
+    * per-(query, vec) dedup, so the dedup exchange carries 24-byte
+    * scalar rows instead of pairs of 64-double vectors; a pair that
+    * collides in m tables re-computes its one 64-mult dot m times
+    * (m ≤ tables, measured mean ~1.2) — arithmetic is cheaper than
+    * shuffling 1 KB rows. Duplicate rows carry bit-identical cos_raw
+    * (same fold over the same inputs), so dropDuplicates stays
+    * deterministic. */
   private[graft] def lshCandidates(s: SparkSession, d: String,
       tables: Int = numTables, bits: Int = bitsPerTable): DataFrame = {
     // NOT cached: a construction-time cache() registers with the
@@ -154,18 +185,15 @@ object VectorOps extends QueryModule {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .withColumn("tb", lshTableBuckets(col("v"), tables, bits))
     val cands = e.select(col("vec_id"), col("v"), col("norm"),
-      explode(col("tb")).as("tb1"))
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("tb1.t").as("t"), col("tb1.b").as("b"))
+      posexplode(col("tb")).as(Seq("t", "b")))
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qnorm"), explode(col("tb")).as("tb1"))
-      .select(col("query_id"), col("qv"), col("qnorm"),
-        col("tb1.t").as("t"), col("tb1.b").as("b"))
+        col("norm").as("qnorm"), posexplode(col("tb")).as(Seq("t", "b")))
     cands.join(broadcast(qs), Seq("t", "b"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
-        col("qnorm"), col("norm"))
+      .select(col("query_id"), col("vec_id"),
+        cosineWithNorms(col("qv"), col("v"), col("qnorm"),
+          col("norm")).as("cos_raw"))
       .dropDuplicates("query_id", "vec_id")
   }
 
@@ -175,8 +203,7 @@ object VectorOps extends QueryModule {
       tables: Int = numTables, bits: Int = bitsPerTable): DataFrame = {
     val scored = lshCandidates(s, d, tables, bits)
       .select(col("query_id"), col("vec_id"),
-        round(cosineWithNorms(col("qv"), col("v"), col("qnorm"),
-          col("norm")), 6).as("cos_sim"))
+        round(col("cos_raw"), 6).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w))
