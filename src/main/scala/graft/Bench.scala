@@ -40,7 +40,14 @@ object Bench {
       val ok = attempts.forall(_._2)
       val times = attempts.map(_._1)
       val spread = if (ok && times.min > 0) times.max / times.min else 1.0
-      name -> Timing(if (ok) times.min else -1.0, !ok, spread)
+      val t = Timing(if (ok) times.min else -1.0, !ok, spread)
+      // per-query progress on stderr: long benches (hour-plus at sf100)
+      // are otherwise a blind wait, and a killed run salvages nothing.
+      // stderr keeps the stdout contract (ONE JSON line) intact.
+      System.err.println(
+        f"[bench] $name min=${t.secs}%.3f spread=$spread%.2f" +
+          (if (t.failed) " FAILED" else ""))
+      name -> t
     }.toMap
 
   /** One JSON line: total over SUCCEEDED queries, per-query seconds
@@ -113,7 +120,11 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
       },
-      runs = 3,
+      // default stays 3 (two runs proved noise-fragile, r5); the env
+      // knob exists for very long scale-decade runs where even 3 may
+      // not fit the session — any deviation must be called out in the
+      // artifact's adjudication notes.
+      runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt,
       reset = () => spark.catalog.clearCache())
     val loadAvg = (loadStart, systemLoad())
     // r1+r2 driver runs both recorded parsed:null: the full per-query JSON
