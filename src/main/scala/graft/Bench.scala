@@ -125,7 +125,13 @@ object Bench {
       // not fit the session — any deviation must be called out in the
       // artifact's adjudication notes.
       runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt,
-      reset = () => spark.catalog.clearCache())
+      // System.gc() prompts ContextCleaner's reference-queue pass, which
+      // is what actually deletes finished queries' shuffle files — in a
+      // 148-query single-application suite the residue otherwise
+      // accumulates until local disk fills (measured: ~50 GB by query
+      // ~94 of the sf100 run, three queries failed as casualties;
+      // SCALE.md decade 5, finding 2). Runs outside the timed window.
+      reset = () => { spark.catalog.clearCache(); System.gc() })
     val loadAvg = (loadStart, systemLoad())
     // r1+r2 driver runs both recorded parsed:null: the full per-query JSON
     // line is ~4.5 KB, so its START falls outside the driver's stdout-tail

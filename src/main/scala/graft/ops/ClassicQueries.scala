@@ -24,7 +24,7 @@ object ClassicQueries extends QueryModule {
         val l = lineitem(s, d).filter(col("l_shipdate") >
           to_timestamp(lit("1998-01-01 00:00:00")))
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"),
             col("o_orderpriority"))
           .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -66,14 +66,14 @@ object ClassicQueries extends QueryModule {
             c("c_nationkey") === asiaNation("n_nationkey"))
           .select(c("c_custkey"), c("c_nationkey"), asiaNation("n_name"))
         val o = orders(s, d)
-        val asiaOrders = o.join(broadcast(asiaCust),
+        val asiaOrders = o.join(asiaCust,
             o("o_custkey") === asiaCust("c_custkey"))
           .select(o("o_orderkey"), asiaCust("c_nationkey"),
             asiaCust("n_name"))
         val l = lineitem(s, d)
         val su = supplier(s, d)
         l.join(asiaOrders, l("l_orderkey") === asiaOrders("o_orderkey"))
-          .join(broadcast(su), l("l_suppkey") === su("s_suppkey")
+          .join(su, l("l_suppkey") === su("s_suppkey")
             && col("c_nationkey") === su("s_nationkey"))
           .groupBy(col("n_name"))
           .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -172,7 +172,7 @@ object ClassicQueries extends QueryModule {
           .select(col("l_orderkey").as("o_orderkey"))
         val o = orders(s, d).join(big, Seq("o_orderkey"), "left_semi")
         val c = customer(s, d)
-        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        o.join(c, col("o_custkey") === col("c_custkey"))
           .join(l, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_orderdate"), col("o_totalprice"))
@@ -215,7 +215,7 @@ object ClassicQueries extends QueryModule {
         val anti = semi.join(l3,
           col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
           "left_anti")
-        anti.join(broadcast(supplier(s, d)),
+        anti.join(supplier(s, d),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
           .agg(count(lit(1)).as("numwait"))
@@ -284,14 +284,14 @@ object ClassicQueries extends QueryModule {
         val cu = customer(s, d).join(broadcast(two),
             col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name").as("cust_nation"))
-        val o = orders(s, d).join(broadcast(cu),
+        val o = orders(s, d).join(cu,
             col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("cust_nation"))
         val l = lineitem(s, d)
           .filter(col("l_shipdate") >=
               to_timestamp(lit("1996-01-01 00:00:00")) &&
             col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
-        l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        l.join(su, l("l_suppkey") === su("s_suppkey"))
           .join(o, l("l_orderkey") === o("o_orderkey"))
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"),

@@ -74,12 +74,12 @@ object ClassicQueries2 extends QueryModule {
         val o = orders(s, d)
           .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
             col("o_orderdate") < ts("1998-01-01 00:00:00"))
-          .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+          .join(cu, col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
         val l = lineitem(s, d)
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
           .join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
           .groupBy(col("o_year"))
           .agg(round(
             decSumIf(col("supp_nation") === "NATION_18", vol) /
@@ -121,8 +121,8 @@ object ClassicQueries2 extends QueryModule {
         val l = lineitem(s, d)
         val amount = dec(vol) -
           dec(col("p_retailprice") * lit(0.5) * col("l_quantity"))
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-          .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
           .join(o, l("l_orderkey") === o("o_orderkey"))
           .groupBy(col("nation"), col("o_year"))
           .agg(outDec(sum(amount)).as("sum_profit"))
@@ -156,7 +156,7 @@ object ClassicQueries2 extends QueryModule {
         val c = customer(s, d)
         val n = nation(s, d)
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
             col("n_name"))
@@ -186,7 +186,7 @@ object ClassicQueries2 extends QueryModule {
         val su = supplier(s, d).join(broadcast(n7),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey")
-        val l = lineitem(s, d).join(broadcast(su),
+        val l = lineitem(s, d).join(su,
           col("l_suppkey") === col("s_suppkey"))
         val perPart = l.groupBy(col("l_partkey"))
           .agg(decSum(vol).as("part_value"))
@@ -275,7 +275,7 @@ object ClassicQueries2 extends QueryModule {
           .filter(col("l_shipdate") >= ts("1997-03-01 00:00:00") &&
             col("l_shipdate") < ts("1997-04-01 00:00:00"))
         val p = part(s, d).select("p_partkey", "p_type")
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .agg(round(lit(100.0) *
             decSumIf(col("p_type") === "PROMO", vol) / decSum(vol), 6)
             .as("promo_revenue"))
@@ -338,9 +338,9 @@ object ClassicQueries2 extends QueryModule {
         val badSupp = supplier(s, d).filter(col("s_acctbal") < 0)
           .select(col("s_suppkey"))
         lineitem(s, d).select("l_partkey", "l_suppkey")
-          .join(broadcast(badSupp),
+          .join(badSupp,
             col("l_suppkey") === col("s_suppkey"), "left_anti")
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand", "p_type", "p_size")
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
@@ -402,7 +402,7 @@ object ClassicQueries2 extends QueryModule {
             col("p_size").between(1, 15) &&
             col("l_quantity").between(20, 30))
         lineitem(s, d)
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
           .filter(branch)
           .agg(decSum(vol).as("revenue"))
       },
@@ -428,7 +428,7 @@ object ClassicQueries2 extends QueryModule {
         val qualifying = lineitem(s, d)
           .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
             col("l_shipdate") < ts("1998-01-01 00:00:00"))
-          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .join(redParts, col("l_partkey") === col("p_partkey"))
           .groupBy("l_suppkey", "l_partkey")
           .agg(sum(dec(col("l_quantity"))).as("qty"))
           .filter(col("qty") > 50)

@@ -117,7 +117,13 @@ object Relational extends QueryModule {
 
     // ---- J1: left equi-join, single key (int_transaction_flows.sql:44 —
     //      tx→blocks enrichment). customer is the small dim side →
-    //      broadcast hash join, no shuffle of the fact table.
+    //      broadcast hash join, no shuffle of the fact table. The
+    //      explicit hint is this operator's CONTRACT, not an
+    //      optimization guess: it models the reference's blocks dim,
+    //      whose cardinality is bounded by the domain (one row per
+    //      block ≈ fact/2000). Hints on dims that SCALE with the fact
+    //      are a measured scale bug (SCALE.md decade 5, finding 1) —
+    //      the TPC-H modules leave those to statistics + AQE.
     Q("j1_left_single",
       (s, d) => {
         val o = orders(s, d); val c = customer(s, d)
