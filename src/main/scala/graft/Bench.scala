@@ -124,7 +124,15 @@ object Bench {
       // knob exists for very long scale-decade runs where even 3 may
       // not fit the session — any deviation must be called out in the
       // artifact's adjudication notes.
-      runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt,
+      runs = {
+        val raw = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3")
+        val n = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_RUNS must be a positive integer, got '$raw'")
+        }
+        require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n")
+        n
+      },
       // System.gc() prompts ContextCleaner's reference-queue pass, which
       // is what actually deletes finished queries' shuffle files — in a
       // 148-query single-application suite the residue otherwise

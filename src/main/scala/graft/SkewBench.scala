@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Honest skew demonstration (BENCH_NOTES "skew crossover" entry).
   *
-  * The oracle-gated `skew_salted_join` runs on uniform TPC-H keys, where
-  * salting can only add overhead — it proves correctness of the
-  * decomposition, not its value. This main measures the regime salting
+  * The blanket-salt decomposition is result-pinned here (and in
+  * SkewSpec) rather than registered as a suite query: its fixed fan-out
+  * shuffles fact×salts rows regardless of skew — a measured scale-killer
+  * at sf100 (SCALE.md decade 5, finding 3) — so it lives in this bench
+  * as evidence, while the registry carries only `skew_adaptive_join`.
+  * This main measures the regime salting
   * exists for: a deliberately skewed fixture (~half the probe rows on ONE
   * key, row count amplified ×10) joined plain vs salted with broadcast
   * and AQE skew mitigation DISABLED — the straggler regime a fixed

@@ -36,12 +36,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * `when(null > 0)` fall to `otherwise(0)`, hence every bucket 0 —
   * pinned against the compositional form in LshExprsSpec.
   */
-case class LshTableBuckets(child: Expression, planes: Array[Array[Double]],
+case class LshTableBuckets(child: Expression, planes: Seq[Seq[Double]],
     tables: Int, bits: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(planes.length >= tables * bits,
     s"need ${tables * bits} planes, got ${planes.length}")
+
+  // The planes ride as Seq[Seq[Double]] — a STRUCTURAL-equality type —
+  // so two lshTableBuckets calls over identical geometry compare equal
+  // and Catalyst canonicalization / common-subexpression elimination
+  // can dedupe them (an Array param's reference-identity equals would
+  // silently defeat both). The primitive matrix the kernel needs is
+  // derived lazily; @transient so executors rebuild it from the Seq
+  // instead of serializing it twice.
+  @transient private lazy val planeMatrix: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -49,11 +59,12 @@ case class LshTableBuckets(child: Expression, planes: Array[Array[Double]],
   override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
-    LshKernel.buckets(v.asInstanceOf[ArrayData], planes, tables, bits)
+    LshKernel.buckets(v.asInstanceOf[ArrayData], planeMatrix, tables, bits)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("lshPlanes", planeMatrix,
+      "double[][]")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
         ${ev.value} = graft.functions.LshKernel.buckets(
@@ -112,5 +123,5 @@ object LshExprs {
   def lshTableBuckets(v: Column, planes: Seq[Seq[Double]], tables: Int,
       bits: Int): Column =
     ColumnBridge.column(LshTableBuckets(ColumnBridge.expression(v),
-      planes.map(_.toArray).toArray, tables, bits))
+      planes, tables, bits))
 }

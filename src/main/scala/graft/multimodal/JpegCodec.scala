@@ -293,7 +293,16 @@ object JpegCodec {
         if (v == 0xFF) {
           val next = if (pos < b.length) b(pos) & 0xFF else -1
           if (next == 0x00) pos += 1 // stuffed 0xFF data byte
-          else { atMarker = next; pos += 1; v = 0 } // marker: zero bits
+          else {
+            // a real marker mid-scan: fail NOW rather than serving 8
+            // fabricated zero bits — phantom coefficients in the final
+            // MCU would otherwise decode as Some(garbage) instead of
+            // None on a truncated entropy segment. restart() keeps its
+            // own lenient scan-to-marker path (the only place a marker
+            // is legitimate).
+            atMarker = next; pos += 1
+            throw new JpegFormat("marker inside entropy segment")
+          }
         }
         acc = v; nbits = 8
       }

@@ -265,6 +265,39 @@ object ClassicQueries extends QueryModule {
                 FROM lineitem l2
                 WHERE l2.l_partkey = p.p_partkey)""")),
 
+    // ---- Q2's 100 TB shape (SCALE.md decade 5, finding 4): the same
+    //      query as a window formulation. Catalyst decorrelates the
+    //      subquery form above into aggregate + join — correct, but that
+    //      plan scans and exchanges lineitem TWICE on l_partkey (~20 GB
+    //      of exchange at sf100, the measured spill-regime onset).
+    //      min(...) OVER (PARTITION BY l_partkey) computes the per-part
+    //      floor and the row filter in ONE lineitem scan and ONE
+    //      exchange — half the fact traffic, same rows. The correlated
+    //      twin stays registered as the decorrelation exercise; this one
+    //      gates the shape you would ship at scale. Same DuckDB oracle.
+    Q("q2_min_price_window",
+      (s, d) => {
+        val w = Window.partitionBy("l_partkey")
+        val atMin = lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"))
+          .withColumn("min_price",
+            min(col("l_extendedprice")).over(w))
+          .filter(col("l_extendedprice") === col("min_price"))
+        part(s, d).select(col("p_partkey"), col("p_name"))
+          .join(atMin, col("p_partkey") === col("l_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
+            col("min_price"))
+      },
+      Some("""SELECT p.p_partkey, p.p_name, l.l_suppkey,
+                l.l_extendedprice AS min_price
+              FROM part p
+              JOIN lineitem l ON l.l_partkey = p.p_partkey
+              WHERE l.l_extendedprice = (
+                SELECT MIN(l2.l_extendedprice)
+                FROM lineitem l2
+                WHERE l2.l_partkey = p.p_partkey)""")),
+
     // ---- TPC-H Q7 shape: bilateral volume shipping — the disjunctive
     //      two-nation pairing. Selectivity first: suppliers and
     //      customers pre-restrict to the two nations via broadcast

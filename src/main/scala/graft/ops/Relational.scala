@@ -116,18 +116,19 @@ object Relational extends QueryModule {
               WHERE c_mktsegment = 'BUILDING'""")),
 
     // ---- J1: left equi-join, single key (int_transaction_flows.sql:44 —
-    //      tx→blocks enrichment). customer is the small dim side →
-    //      broadcast hash join, no shuffle of the fact table. The
-    //      explicit hint is this operator's CONTRACT, not an
-    //      optimization guess: it models the reference's blocks dim,
-    //      whose cardinality is bounded by the domain (one row per
-    //      block ≈ fact/2000). Hints on dims that SCALE with the fact
-    //      are a measured scale bug (SCALE.md decade 5, finding 1) —
-    //      the TPC-H modules leave those to statistics + AQE.
+    //      tx→blocks enrichment). The reference's semantics are the JOIN,
+    //      not a physical strategy (SURVEY.md §2.3): physical choice is
+    //      left to statistics + AQE, which broadcast the dim wherever it
+    //      is actually small (PlanSpec pins BroadcastHashJoin at gate
+    //      scale) and fall back to a shuffled hash/SMJ where it is not.
+    //      customer here GROWS with the fact (fact/10) — a forced
+    //      broadcast() is the exact per-executor-OOM bug class SCALE.md
+    //      decade 5 measured (q18's forced ~1 GB customer broadcast
+    //      killed the SparkContext at sf100), so no hint.
     Q("j1_left_single",
       (s, d) => {
         val o = orders(s, d); val c = customer(s, d)
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        o.join(c, o("o_custkey") === c("c_custkey"), "left")
           .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
             col("c_mktsegment"))
       },
@@ -167,12 +168,15 @@ object Relational extends QueryModule {
       Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
               FROM customer LEFT JOIN orders ON c_custkey = o_custkey""")),
 
-    // ---- J4: inner equi-join (app.py:372 — trace→dim_blocks). part is a
-    //      broadcastable dim.
+    // ---- J4: inner equi-join (app.py:372 — trace→dim_blocks). part
+    //      scales with the fact (20M rows at sf100), so as in J1 the
+    //      broadcast decision is left to statistics + AQE — identical
+    //      plan at gate scale (PlanSpec), shuffled join where broadcast
+    //      would OOM an executor.
     Q("j4_inner",
       (s, d) => {
         val l = lineitem(s, d); val p = part(s, d)
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
           .filter(col("p_size") > 25)
           .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
             col("p_size"))

@@ -178,22 +178,14 @@ object ScaleOps extends QueryModule {
         .filter(col("bad_frac") <= 0.01),
       None),
 
-    // ---- Salted join produces byte-identical results to the plain join
-    //      (oracle = plain SQL), aggregated to a per-key readout.
-    Q("skew_salted_join",
-      (s, d) => {
-        val l = lineitem(s, d).select("l_orderkey", "l_extendedprice")
-        val o = orders(s, d).select(col("o_orderkey").as("l_orderkey"),
-          col("o_custkey"))
-        saltedJoin(l, o, "l_orderkey", salts = 8)
-          .groupBy("o_custkey")
-          .agg(count(lit(1)).as("n_lines"),
-            decSum(col("l_extendedprice")).as("total_price"))
-      },
-      Some(s"""SELECT o_custkey, COUNT(*) AS n_lines,
-              ${sqlDecSum("l_extendedprice")} AS total_price
-              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              GROUP BY 1""")),
+    // ---- NOTE: the blanket-salt arm (saltedJoin with a fixed 8× fan-out
+    //      of the fact side) is deliberately NOT a registered query: an
+    //      unconditional salt multiplies the shuffled fact by the salt
+    //      count regardless of skew — ~1.2B shuffled rows at sf100,
+    //      measured disk-death (SCALE.md decade 5, finding 3). Its
+    //      byte-identity vs the plain join is result-pinned in SkewBench
+    //      (the A/B evidence arm) and SkewSpec; the registry carries only
+    //      the scale-safe adaptive form below.
 
     // ---- Adaptive salted join on the ACTUALLY-skewed fixture (the one
     //      SkewSpec/SkewBench share): ~half the probe rows collapse onto

@@ -69,6 +69,26 @@ class LshExprsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("two independently-built identical expressions are equal — " +
+    "canonicalization/CSE can dedupe them") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // DISTINCT plane objects with equal content: structural equality
+    // (Seq param, not Array reference identity) is what makes the two
+    // trees compare equal — the property Catalyst canonicalization and
+    // common-subexpression elimination key on. The child is shared so
+    // the comparison isolates the planes parameter (a DSL col() would
+    // drag call-site Origin metadata into equals).
+    def freshPlanes: Seq[Seq[Double]] =
+      (1L to 12L).map(s => rng(s).toVector)
+    val child = Literal.default(ArrayType(DoubleType))
+    val a = LshTableBuckets(child, freshPlanes, 2, 6)
+    val b = LshTableBuckets(child, freshPlanes.map(_.toList), 2, 6)
+    assert(a == b, "identical lshTableBuckets trees must be equal")
+    assert(a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+  }
+
   test("codegen path and direct kernel call agree (they share LshKernel)") {
     import spark.implicits._
     val vecs = (1L to 50L).map(rng)

@@ -127,6 +127,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Subquery"), p.take(1500))
   }
 
+  test("q2 window twin: ONE lineitem scan, ONE window pass, ONE fact " +
+    "exchange — half the correlated form's lineitem traffic") {
+    val p = plan("q2_min_price_window")
+    // the decorrelated subquery form scans lineitem twice; the window
+    // shape must scan it once (plus the part dim scan = 2 total)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 scans (lineitem + part), saw $scans\n" +
+      p.take(1500))
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows == 1, s"expected 1 window pass, saw $windows\n" +
+      p.take(1500))
+    // the single l_partkey exchange feeding the window; part rides as a
+    // broadcast at gate scale (stats — no hint)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges\n" +
+      p.take(1500))
+  }
+
   test("q1: single-pass scan-aggregate — pushdown + two-phase agg, " +
     "no join") {
     val p = plan("q1_pricing_summary")

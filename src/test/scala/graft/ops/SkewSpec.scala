@@ -3,11 +3,13 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Skew salting on an actually-skewed fixture (the gated
-  * `skew_salted_join` query runs on uniform keys, which proves the
-  * decomposition, not its value): exact result parity, and the salt
-  * distribution property that removes the straggler. SkewBench (main)
-  * measures the wall-clock crossover at sf0.1. */
+/** Skew salting on an actually-skewed fixture: exact result parity for
+  * both the blanket-salt decomposition (evidence-only — not a registered
+  * query, since its fixed fan-out is a measured scale-killer at sf100;
+  * SCALE.md decade 5, finding 3) and the registry's scale-safe
+  * `skew_adaptive_join`, plus the salt distribution property that
+  * removes the straggler. SkewBench (main) measures the wall-clock
+  * crossover at sf0.1. */
 class SkewSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
