@@ -178,6 +178,33 @@ object ScaleOps extends QueryModule {
         .filter(col("bad_frac") <= 0.01),
       None),
 
+    // ---- A2's one-exchange exact shape (SCALE.md decade 5, finding 5):
+    //      countDistinct plans through TWO full-size exchanges — hash
+    //      (suppkey, orderkey) to dedupe, then hash(suppkey) to count —
+    //      and at sf100 the first one (~600M near-unique pairs, map-side
+    //      partial dedup removes almost nothing) crosses into the spill
+    //      regime (measured 4.1x on 3.33x data). This twin repartitions
+    //      on the GROUP key alone: HashPartitioning(suppkey) satisfies
+    //      ClusteredDistribution(suppkey, orderkey) — a subset of the
+    //      clustering keys co-locates every composite group — so both
+    //      the pair-dedup aggregate AND the per-suppkey count run on the
+    //      same single exchange. Half the shuffled bytes of the default
+    //      plan; exact, so it shares a2_distinct_group's DuckDB oracle.
+    //      Tradeoff, stated: partitioning on the group key alone means a
+    //      hot group lands on one reducer — right when groups are
+    //      near-uniform (suppkeys here; addresses in the reference's
+    //      dim_addresses.sql:14), wrong under group skew, where the
+    //      default composite exchange or adaptive salting wins.
+    Q("a2_distinct_onepass",
+      (s, d) => lineitem(s, d)
+        .select("l_suppkey", "l_orderkey")
+        .repartition(col("l_suppkey"))
+        .groupBy("l_suppkey", "l_orderkey").agg(count(lit(1)).as("_dup"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("distinct_orders")),
+      Some("""SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS distinct_orders
+              FROM lineitem GROUP BY 1""")),
+
     // ---- NOTE: the blanket-salt arm (saltedJoin with a fixed 8× fan-out
     //      of the fact side) is deliberately NOT a registered query: an
     //      unconditional salt multiplies the shuffled fact by the salt

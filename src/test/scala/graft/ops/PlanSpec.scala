@@ -332,6 +332,19 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("a2 one-pass twin: both aggregates ride ONE group-key exchange " +
+    "(the default countDistinct plan pays two)") {
+    val p = plan("a2_distinct_onepass")
+    // repartition(l_suppkey) is the only exchange: HashPartitioning on
+    // the group key satisfies ClusteredDistribution for BOTH the
+    // (suppkey, orderkey) dedup aggregate and the per-suppkey count
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges\n" +
+      p.take(1500))
+    assert(!p.contains("Expand"), "distinct-agg Expand crept back in:\n" +
+      p.take(1500))
+  }
+
   test("x8: set ops collapse to ONE orders scan and ONE aggregate " +
     "(not 4 scans + 2 shuffle-dedups)") {
     val p = plan("x8_set_ops")
