@@ -94,9 +94,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle parallelism from core count
+    // for the cluster-shape audit (SCALE.md: sweep 64/128/256 at sf100 to
+    // show the suite doesn't depend on the local[32] sweet spot).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      // Heavy sf100 stages can starve the in-JVM heartbeater for minutes
+      // (32 saturated threads + spill I/O + GC). If one heartbeat misses
+      // the default 120 s window the driver expires the executor, and
+      // local mode cannot re-register (the BlockManager re-register path
+      // asks for the CoarseGrainedScheduler endpoint, which only exists
+      // on a cluster) — the context then dies after 60 failed
+      // heartbeats. Measured: j4's sf100 SMJ killed the q2 solo that
+      // followed it. Same knob a busy cluster would set.
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "20s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

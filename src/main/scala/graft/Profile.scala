@@ -8,6 +8,10 @@ object Profile {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      // same heartbeat armor as Bench: one >120 s heartbeat gap under a
+      // saturated sf100 stage is fatal in local mode (no re-register path)
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "20s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
