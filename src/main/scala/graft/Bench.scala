@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 
 object Bench {
 
@@ -50,14 +50,24 @@ object Bench {
       name -> t
     }.toMap
 
+  /** Measurement-regime descriptor carried into every emitted artifact:
+    * this round's own finding is that shuffle partitions alone swing
+    * per-query results up to ~5× (corpus_mix_weights 0.9→4.6 s at sf100,
+    * 32→128), and the banked sf100 artifact used non-default runs=2 —
+    * artifacts from different regimes must be distinguishable without
+    * cross-referencing SCALE.md prose. -1 = unknown (pure-function
+    * tests). */
+  final case class Regime(cpus: Int = -1, shuffle: Int = -1, runs: Int = -1)
+
   /** One JSON line: total over SUCCEEDED queries, per-query seconds
-    * (failed ones carry -1.0), and an explicit `failed` name list.
-    * `names = Some(...)` restricts the per-query map (the stdout line must
-    * stay short enough to survive the driver's stdout-tail window) while
-    * total/failed always cover everything. */
+    * (failed ones carry -1.0), an explicit `failed` name list, and the
+    * measurement regime. `names = Some(...)` restricts the per-query map
+    * (the stdout line must stay short enough to survive the driver's
+    * stdout-tail window) while total/failed always cover everything. */
   def renderJson(results: Map[String, Timing], sf: String,
       names: Option[Seq[String]],
-      loadAvg: (Double, Double) = (-1.0, -1.0)): String = {
+      loadAvg: (Double, Double) = (-1.0, -1.0),
+      regime: Regime = Regime()): String = {
     val sel = names.fold(results.toSeq.sortBy(_._1))(ns =>
       ns.flatMap(n => results.get(n).map(n -> _)))
     val qs = sel.map { case (k, t) => "\"" + k + "\":" + num(t.secs) }
@@ -82,9 +92,11 @@ object Bench {
     // host noise without a re-run.
     val load = s""""load_avg":{"start":${num(loadAvg._1)},""" +
       s""""end":${num(loadAvg._2)}}"""
+    val reg = s""""cpus":${regime.cpus},"shuffle":${regime.shuffle},""" +
+      s""""runs":${regime.runs}"""
     s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"failed":$failed,"noise_suspect":$noisy,""" +
-      s""""spread":$spreads,$load,"sf":"$sf"}"""
+      s""""spread":$spreads,$load,$reg,"sf":"$sf"}"""
   }
 
   def systemLoad(): Double =
@@ -98,24 +110,9 @@ object Bench {
     // for the cluster-shape audit (SCALE.md: sweep 64/128/256 at sf100 to
     // show the suite doesn't depend on the local[32] sweet spot).
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      // Heavy sf100 stages can starve the in-JVM heartbeater for minutes
-      // (32 saturated threads + spill I/O + GC). If one heartbeat misses
-      // the default 120 s window the driver expires the executor, and
-      // local mode cannot re-register (the BlockManager re-register path
-      // asks for the CoarseGrainedScheduler endpoint, which only exists
-      // on a cluster) — the context then dies after 60 failed
-      // heartbeats. Measured: j4's sf100 SMJ killed the q2 solo that
-      // followed it. Same knob a busy cluster would set.
-      .config("spark.network.timeout", "800s")
-      .config("spark.executor.heartbeatInterval", "20s")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(graft.plans.GraftExtensions.install)
-      .getOrCreate()
+    // session stability knobs (heartbeat armor etc.) live in Sessions —
+    // shared with Profile so the two measurement regimes cannot drift
+    val spark = Sessions.builder(cpus, shuffle).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup at the smallest SF first: JIT + codegen compilation otherwise
     // lands entirely in the first measured query.
@@ -130,23 +127,24 @@ object Bench {
     // loaded host); with three, one clean run suffices and the spread
     // field flags the entries where even the min may be suspect.
     val loadStart = systemLoad()
+    // default stays 3 (two runs proved noise-fragile, r5); the env
+    // knob exists for very long scale-decade runs where even 3 may
+    // not fit the session — any deviation is now self-describing via
+    // the artifact's "runs" field (plus adjudication notes).
+    val runs = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3")
+      val n = try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_RUNS must be a positive integer, got '$raw'")
+      }
+      require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n")
+      n
+    }
     val results = measure(
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
       },
-      // default stays 3 (two runs proved noise-fragile, r5); the env
-      // knob exists for very long scale-decade runs where even 3 may
-      // not fit the session — any deviation must be called out in the
-      // artifact's adjudication notes.
-      runs = {
-        val raw = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3")
-        val n = try raw.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"SPARK_GRAFT_RUNS must be a positive integer, got '$raw'")
-        }
-        require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n")
-        n
-      },
+      runs = runs,
       // System.gc() prompts ContextCleaner's reference-queue pass, which
       // is what actually deletes finished queries' shuffle files — in a
       // 148-query single-application suite the residue otherwise
@@ -172,8 +170,9 @@ object Bench {
     require(headline.forall(results.contains),
       s"headline names missing from registry: ${
         headline.filterNot(results.contains).mkString(", ")}")
-    val shortJson = renderJson(results, sfDir, Some(headline), loadAvg)
-    val fullJson = renderJson(results, sfDir, None, loadAvg)
+    val regime = Regime(cpus.toInt, shuffle.toInt, runs)
+    val shortJson = renderJson(results, sfDir, Some(headline), loadAvg, regime)
+    val fullJson = renderJson(results, sfDir, None, loadAvg, regime)
     println(shortJson)
     spark.stop()
     java.nio.file.Files.write(

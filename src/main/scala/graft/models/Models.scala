@@ -136,9 +136,16 @@ object Models {
     * the composite (transaction_hash, block_id) — the N×M per-tx edge
     * fan-out) + P5 coinbase categorization.
     *
-    * Scale: blocks is ~1/2000th of tx — broadcast. inputs/outputs/tx all
-    * shuffle on the same composite key, so the two fan-out joins reuse one
-    * exchange per side; at 100 TB these three tables should be bucketed by
+    * Scale: NO broadcast hint on the blocks dim. "blocks ≈ 1/2000th of
+    * tx" is linear in the fact, not bounded — at 100 TB of transactions
+    * the blocks side is tens of GB and a forced per-executor broadcast
+    * is an OOM (the q18 class measured in SCALE.md decade 5). Stats +
+    * AQE broadcast it at every scale where that is actually safe
+    * (gate-scale plan pinned in PlanSpec via `pipeline_e2e_trace_mart`);
+    * past the threshold the planner falls back to a shuffled join, which
+    * is the correct 100 TB plan. inputs/outputs/tx all shuffle on the
+    * same composite key, so the two fan-out joins reuse one exchange per
+    * side; at 100 TB these three tables should be bucketed by
     * transaction_hash to make the exchanges vanish. */
   def intTransactionFlows(stgTx: DataFrame, stgBlocks: DataFrame,
       stgInputs: DataFrame, stgOutputs: DataFrame): DataFrame = {
@@ -159,7 +166,7 @@ object Models {
       col("value_btc").as("output_value_btc"),
       col("value_usd").as("output_value_usd"))
     stgTx
-      .join(broadcast(b), Seq("block_id"), "left")
+      .join(b, Seq("block_id"), "left")
       .join(in, Seq("transaction_hash", "block_id"), "left")
       .join(out, Seq("transaction_hash", "block_id"), "left")
       .select(

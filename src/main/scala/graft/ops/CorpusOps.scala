@@ -54,7 +54,9 @@ object CorpusOps extends QueryModule {
     //      docs cache inside jaccardPairs is released in the finally.
     Q("dup_clusters",
       (s, d) => {
-        val (rawPairs, releaseDocs) = TextOps.jaccardPairsWithRelease(s, d)
+        // size-gated: cache plan at gate scale, bucketed-table layout past
+        // TextOps.CORPUS_CACHE_MAX_BYTES (the 100 TB corpus path)
+        val (rawPairs, releaseDocs) = TextOps.jaccardPairsAuto(s, d)
         // Materialize the (small) pair list ONCE, then drop every
         // corpus-sized input BEFORE the loop: ccLogStar references its
         // edge input from several subtrees (canon + the node universe),
@@ -415,7 +417,9 @@ object CorpusOps extends QueryModule {
     //      safe fallback when a pathological corpus makes it large.
     Q("split_leakage_safe",
       (s, d) => {
-        val (rawPairs, releaseDocs) = TextOps.jaccardPairsWithRelease(s, d)
+        // size-gated: cache plan at gate scale, bucketed-table layout past
+        // TextOps.CORPUS_CACHE_MAX_BYTES (the 100 TB corpus path)
+        val (rawPairs, releaseDocs) = TextOps.jaccardPairsAuto(s, d)
         var pairs: org.apache.spark.sql.DataFrame = null
         var pairIds: Set[Int] = Set.empty
         try {

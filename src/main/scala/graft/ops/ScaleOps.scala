@@ -195,6 +195,21 @@ object ScaleOps extends QueryModule {
     //      near-uniform (suppkeys here; addresses in the reference's
     //      dim_addresses.sql:14), wrong under group skew, where the
     //      default composite exchange or adaptive salting wins.
+    //      Partition-count coupling, stated: repartition(col) emits
+    //      REPARTITION_BY_COL, which IS an AQE-coalescible shuffle
+    //      origin (verified r12: the post-AQE executed plan shows
+    //      `AQEShuffleRead coalesced` over this exchange at shuffle=128,
+    //      sf0.01) — but coalescing only fires while partitions sit
+    //      under the advisory size and parallelismFirst floor, so at
+    //      sf100 the 32→128 sweep still measured 12.6→40.5 s
+    //      (BENCH_NOTES round 11). The regression is a real-data regime,
+    //      not an AQE incapability: with partitions above the advisory
+    //      size every one of the 128 stays live, and a low-cardinality
+    //      group key (~1M suppkeys at sf100) spread over more reducers
+    //      pays per-task constants without shrinking the single
+    //      exchange. At cluster partition counts (thousands), size
+    //      shuffle.partitions to the group-key cardinality for this
+    //      shape, or fall back to the default two-exchange plan.
     Q("a2_distinct_onepass",
       (s, d) => lineitem(s, d)
         .select("l_suppkey", "l_orderkey")

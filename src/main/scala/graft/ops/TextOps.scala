@@ -54,14 +54,74 @@ object TextOps extends QueryModule {
   private[ops] def jaccardPairsWithRelease(
       s: SparkSession, d: String): (DataFrame, () => Unit) = {
     // docs feeds the index and both sides of the final array join —
-    // cache it (at 100 TB: persist to a bucketed table instead).
-    val docs = documents(s, d).select(col("doc_id"),
-      array_distinct(shingles(toksCol, 2)).as("grams")).cache()
+    // cache it. Gate-scale only: the cache pins a corpus-sized dataset
+    // in executor memory. Past CORPUS_CACHE_MAX_BYTES callers should go
+    // through jaccardPairsAuto, which swaps the cache for a bucketed
+    // table on doc_id ([[jaccardPairsBucketed]]) — same plan, the
+    // corpus-sized state on disk in a join-colocated layout instead.
+    val docs = shingledDocs(s, d).cache()
+    (jaccardPairsFrom(docs), () => { docs.unpersist(); () })
+  }
+
+  /** The shingled corpus: one row per doc with its distinct bigram set —
+    * the dataset every jaccard variant reads three times (index build +
+    * both sides of the verify join). */
+  private def shingledDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      array_distinct(shingles(toksCol, 2)).as("grams"))
+
+  /** Corpus bytes (parquet on disk) above which [[jaccardPairsAuto]]
+    * stops caching the shingled corpus and persists it as a bucketed
+    * table instead. 2 GiB: comfortably above every gate/bench scale
+    * (sf0.1 documents ≈ 6 MB, sf100 ≈ 6 GB > gate → bucketed), far
+    * below the executor-memory cliff the cache would hit first. */
+  private[ops] val CORPUS_CACHE_MAX_BYTES: Long = 2L << 30
+
+  /** Size-gated entry: the cache plan under the threshold, the
+    * bucketed-table plan above it. The gate reads file sizes (bounded
+    * filesystem metadata), never the data. */
+  private[ops] def jaccardPairsAuto(
+      s: SparkSession, d: String): (DataFrame, () => Unit) =
+    if (dirBytes(s"$d/documents.parquet") <= CORPUS_CACHE_MAX_BYTES)
+      jaccardPairsWithRelease(s, d)
+    else (jaccardPairsBucketed(s, d), () => ())
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
+  /** The 100 TB layout variant of [[jaccardPairsWithRelease]]: the
+    * shingled corpus is persisted ONCE as a bucketed, sorted table on
+    * doc_id (shuffle paid at write time) and the same
+    * index→candidates→verify plan runs over the table — both grams-side
+    * verify joins then read bucket-colocated data with no exchange on
+    * the corpus side (pinned in TextBucketedSpec), and no corpus-sized
+    * executor cache exists at all. */
+  private[ops] def jaccardPairsBucketed(s: SparkSession, d: String,
+      buckets: Int = 8, table: String = "jaccard_docs_bkt"): DataFrame = {
+    graft.sources.Bucketing.writeBucketed(
+      shingledDocs(s, d), table, Seq("doc_id"), buckets, Seq("doc_id"))
+    jaccardPairsFrom(s.table(table))
+  }
+
+  /** Inverted-index candidate generation + exact-jaccard verification
+    * over an already-materialized shingled corpus (cached or bucketed —
+    * the plan is layout-agnostic). */
+  private def jaccardPairsFrom(docs: DataFrame): DataFrame = {
     val index = docs.select(col("doc_id"),
       explode(col("grams")).as("gram"))
     val rare = index.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50 && col("df") >= 2)
-    val pruned = index.join(broadcast(rare), Seq("gram"))
+    // NO broadcast hint: the rare-gram list (2 ≤ df ≤ 50) grows roughly
+    // linearly with corpus vocabulary — under Zipf, MOST distinct grams
+    // are rare — so at 100 TB it is unbounded driver+executor state. The
+    // join key (`gram`) matches the index aggregation's exchange, so the
+    // shuffled equi-join reuses that partitioning; stats + AQE still
+    // pick a broadcast at scales where the list is genuinely small.
+    val pruned = index.join(rare, Seq("gram"))
     val a = pruned.select(col("gram"), col("doc_id").as("doc_a"))
     val b = pruned.select(col("gram"), col("doc_id").as("doc_b"))
     val cands = a.join(b, Seq("gram"))
@@ -77,7 +137,7 @@ object TextOps extends QueryModule {
           / size(array_union(col("grams_a"), col("grams_b"))), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-    (pairs, () => { docs.unpersist(); () })
+    pairs
   }
 
   /** DuckDB twin of [[jaccardPairs]]; a complete SELECT, embeddable as a
@@ -488,9 +548,12 @@ object TextOps extends QueryModule {
     // ---- Bigram language-model counts: P(w2|w1) = c(w1,w2)/c(w1) over
     //      the corpus — the n-gram statistic a data-quality LM filter
     //      thresholds on. Two map-side-combinable hash aggregates joined
-    //      on w1 (the smaller unigram side broadcasts); top bigrams with
-    //      a total-order tiebreak. The conditional probability divides
-    //      two exact longs — identical doubles on both engines.
+    //      on w1 — NO broadcast hint: the unigram side is the corpus
+    //      vocabulary, which grows with the corpus (Heaps' law), so a
+    //      forced broadcast is unbounded executor state at 100 TB; stats
+    //      + AQE broadcast it where it is genuinely small. Top bigrams
+    //      with a total-order tiebreak. The conditional probability
+    //      divides two exact longs — identical doubles on both engines.
     Q("text_bigram_lm",
       (s, d) => {
         val pairs = documents(s, d)
@@ -505,7 +568,7 @@ object TextOps extends QueryModule {
         val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
           .cache()
         val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
-        c12.join(broadcast(c1), Seq("w1"))
+        c12.join(c1, Seq("w1"))
           .select(col("w1"), col("w2"), col("n12"),
             round(col("n12") / col("n1").cast("double"), 6).as("p_cond"))
           .orderBy(desc("n12"), asc("w1"), asc("w2"))

@@ -125,7 +125,15 @@ object StreamIngest {
   /** Stream-static enrich: per-micro-batch dimension lookup. The static
     * side is planned fresh each batch (so a slowly-changing dim picks up
     * between batches) and explicitly broadcast — at 100 TB/day stream
-    * volume the dim join must never shuffle the stream. */
+    * volume the dim join must never shuffle the stream.
+    *
+    * CALLER CONTRACT (broadcast audit, SCALE.md): `dim` must be
+    * executor-memory bounded — a genuine dimension (currencies, asset
+    * metadata, config), NOT anything that grows with the fact/stream
+    * volume. The hint is this function's point (never shuffle the
+    * stream), so the boundedness obligation moves to the caller; pass a
+    * fact-proportional frame here and you have reintroduced the forced-
+    * broadcast OOM class r10-r12 removed everywhere else. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")

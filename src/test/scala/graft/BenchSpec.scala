@@ -46,6 +46,21 @@ class BenchSpec extends AnyFunSuite {
     assert(short.contains(""""value":3.250"""))
   }
 
+  test("JSON is regime-self-describing: cpus/shuffle/runs fields, " +
+    "-1 when unknown") {
+    val results = Map("a" -> Bench.Timing(1.0, failed = false, spread = 1.0))
+    val json = Bench.renderJson(results, "sfX", None,
+      regime = Bench.Regime(cpus = 32, shuffle = 128, runs = 2))
+    // shuffle partitions alone swing per-query results up to ~5x
+    // (SCALE.md round-11 sweep) — artifacts from different regimes must
+    // be distinguishable without cross-referencing prose
+    assert(json.contains(""""cpus":32"""))
+    assert(json.contains(""""shuffle":128"""))
+    assert(json.contains(""""runs":2"""))
+    val unknown = Bench.renderJson(results, "sfX", None)
+    assert(unknown.contains(""""cpus":-1"""))
+  }
+
   test("noise_suspect flags queries whose run-to-run spread exceeds 3x") {
     val results = Map(
       "steady" -> Bench.Timing(1.0, failed = false, spread = 1.2),

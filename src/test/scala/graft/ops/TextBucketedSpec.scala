@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** The jaccard machinery's 100 TB corpus layout: past the cache size
+  * gate the shingled corpus lives in a bucketed table on doc_id instead
+  * of an executor cache. Pins (1) result identity with the cached plan,
+  * (2) the exchange saving the bucketed layout buys on the verify joins,
+  * (3) the gate itself (gate-scale fixtures stay on the cache path). */
+class TextBucketedSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def dropTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
+  test("bucketed jaccard variant is row-identical to the cached plan") {
+    dropTable("jaccard_docs_bkt")
+    val cached = TextOps.jaccardPairs(spark, sf)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val bucketed = TextOps.jaccardPairsBucketed(spark, sf)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(cached.nonEmpty, "fixture produced no near-dup pairs")
+    assert(bucketed == cached)
+    spark.catalog.clearCache()
+  }
+
+  test("bucketed layout removes the corpus-side exchanges of the " +
+    "verify joins (SMJ forced so the claim is about bucketing)") {
+    dropTable("jaccard_docs_bkt2")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def exchanges(p: String): Int =
+        "Exchange hashpartitioning".r.findAllIn(p).length
+      val cachedPlan = TextOps.jaccardPairs(spark, sf)
+        .queryExecution.executedPlan.toString
+      val bucketedDf =
+        TextOps.jaccardPairsBucketed(spark, sf, table = "jaccard_docs_bkt2")
+      val bucketedPlan = bucketedDf.queryExecution.executedPlan.toString
+      // the bucketed scan must actually be bucket-aware ...
+      assert(bucketedPlan.contains("SelectedBucketsCount"),
+        bucketedPlan.take(1500))
+      // ... and the two grams-side (doc_id-keyed) exchanges of the
+      // cached plan must be gone — shuffle paid once at write time
+      assert(exchanges(bucketedPlan) <= exchanges(cachedPlan) - 2,
+        s"cached=${exchanges(cachedPlan)} bucketed=${exchanges(bucketedPlan)}")
+      spark.catalog.clearCache()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("size gate: gate-scale corpora take the cache path, not the " +
+    "bucketed write") {
+    // fixture documents are KBs — far under CORPUS_CACHE_MAX_BYTES, so
+    // Auto must not create the bucketed table
+    dropTable("jaccard_docs_bkt")
+    val (pairs, release) = TextOps.jaccardPairsAuto(spark, sf)
+    try assert(pairs.count() > 0)
+    finally release()
+    assert(!spark.catalog.tableExists("jaccard_docs_bkt"),
+      "gate-scale input must not trigger the bucketed-layout write")
+  }
+}
