@@ -136,17 +136,20 @@ object Models {
     * the composite (transaction_hash, block_id) — the N×M per-tx edge
     * fan-out) + P5 coinbase categorization.
     *
-    * Scale: NO broadcast hint on the blocks dim. "blocks ≈ 1/2000th of
-    * tx" is linear in the fact, not bounded — at 100 TB of transactions
-    * the blocks side is tens of GB and a forced per-executor broadcast
-    * is an OOM (the q18 class measured in SCALE.md decade 5). Stats +
-    * AQE broadcast it at every scale where that is actually safe
-    * (gate-scale plan pinned in PlanSpec via `pipeline_e2e_trace_mart`);
-    * past the threshold the planner falls back to a shuffled join, which
-    * is the correct 100 TB plan. inputs/outputs/tx all shuffle on the
-    * same composite key, so the two fan-out joins reuse one exchange per
-    * side; at 100 TB these three tables should be bucketed by
-    * transaction_hash to make the exchanges vanish. */
+    * Scale: the blocks dim rides a SIZE-GATED broadcast
+    * ([[graft.util.SizeGate.broadcastIfSmall]], 256 MiB). An
+    * unconditional hint is the per-executor OOM class r10-r12 removed —
+    * "blocks ≈ 1/2000th of tx" is linear in the fact, tens of GB at
+    * 100 TB — while an unconditional de-hint shuffles the entire fact
+    * wherever blocks exceeds the planner's conservative 10 MB default
+    * (r12 measured the class at sf100: a few-hundred-MB dim forced a
+    * fact shuffle costing 2-5× end-to-end). The gate broadcasts while
+    * the dim's estimated bytes are bounded by a constant (gate-scale
+    * plan pinned in PlanSpec via `pipeline_e2e_trace_mart`) and falls
+    * back to the scale-safe shuffled join past it. inputs/outputs/tx
+    * all shuffle on the same composite key, so the two fan-out joins
+    * reuse one exchange per side; at 100 TB these three tables should
+    * be bucketed by transaction_hash to make the exchanges vanish. */
   def intTransactionFlows(stgTx: DataFrame, stgBlocks: DataFrame,
       stgInputs: DataFrame, stgOutputs: DataFrame): DataFrame = {
     // cdd_total_days exists on both tx and blocks — rename the block-side
@@ -166,7 +169,7 @@ object Models {
       col("value_btc").as("output_value_btc"),
       col("value_usd").as("output_value_usd"))
     stgTx
-      .join(b, Seq("block_id"), "left")
+      .join(graft.util.SizeGate.broadcastIfSmall(b), Seq("block_id"), "left")
       .join(in, Seq("transaction_hash", "block_id"), "left")
       .join(out, Seq("transaction_hash", "block_id"), "left")
       .select(

@@ -60,8 +60,17 @@ object TextOps extends QueryModule {
     // table on doc_id ([[jaccardPairsBucketed]]) — same plan, the
     // corpus-sized state on disk in a join-colocated layout instead.
     val docs = shingledDocs(s, d).cache()
-    (jaccardPairsFrom(docs), () => { docs.unpersist(); () })
+    (jaccardPairsFrom(docs, corpusSmall(d)), () => { docs.unpersist(); () })
   }
+
+  /** The one size gate for corpus-proportional in-memory state: below
+    * it the cache and the gram-dim broadcasts (each bounded by the
+    * corpus's own bytes — rare grams carry df ≥ 2, so ≤ corpus/2;
+    * measured tens of MB at sf100's 560 MB corpus) are acceptable by
+    * the same argument; above it the cache becomes a bucketed table and
+    * the gram joins run shuffled. */
+  private def corpusSmall(d: String): Boolean =
+    dirBytes(s"$d/documents.parquet") <= CORPUS_CACHE_MAX_BYTES
 
   /** The shingled corpus: one row per doc with its distinct bigram set —
     * the dataset every jaccard variant reads three times (index build +
@@ -73,7 +82,7 @@ object TextOps extends QueryModule {
   /** Corpus bytes (parquet on disk) above which [[jaccardPairsAuto]]
     * stops caching the shingled corpus and persists it as a bucketed
     * table instead. 2 GiB: comfortably above every gate/bench scale
-    * (sf0.1 documents ≈ 6 MB, sf100 ≈ 6 GB > gate → bucketed), far
+    * (sf0.1 documents ≈ 6 MB, sf100 ≈ 560 MB — all cache-path), far
     * below the executor-memory cliff the cache would hit first. */
   private[ops] val CORPUS_CACHE_MAX_BYTES: Long = 2L << 30
 
@@ -82,7 +91,7 @@ object TextOps extends QueryModule {
     * filesystem metadata), never the data. */
   private[ops] def jaccardPairsAuto(
       s: SparkSession, d: String): (DataFrame, () => Unit) =
-    if (dirBytes(s"$d/documents.parquet") <= CORPUS_CACHE_MAX_BYTES)
+    if (corpusSmall(d))
       jaccardPairsWithRelease(s, d)
     else (jaccardPairsBucketed(s, d), () => ())
 
@@ -104,24 +113,31 @@ object TextOps extends QueryModule {
       buckets: Int = 8, table: String = "jaccard_docs_bkt"): DataFrame = {
     graft.sources.Bucketing.writeBucketed(
       shingledDocs(s, d), table, Seq("doc_id"), buckets, Seq("doc_id"))
-    jaccardPairsFrom(s.table(table))
+    jaccardPairsFrom(s.table(table), corpusSmall(d))
   }
 
   /** Inverted-index candidate generation + exact-jaccard verification
     * over an already-materialized shingled corpus (cached or bucketed —
     * the plan is layout-agnostic). */
-  private def jaccardPairsFrom(docs: DataFrame): DataFrame = {
+  private def jaccardPairsFrom(docs: DataFrame,
+      hintGramDim: Boolean): DataFrame = {
     val index = docs.select(col("doc_id"),
       explode(col("grams")).as("gram"))
     val rare = index.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50 && col("df") >= 2)
-    // NO broadcast hint: the rare-gram list (2 ≤ df ≤ 50) grows roughly
-    // linearly with corpus vocabulary — under Zipf, MOST distinct grams
-    // are rare — so at 100 TB it is unbounded driver+executor state. The
-    // join key (`gram`) matches the index aggregation's exchange, so the
-    // shuffled equi-join reuses that partitioning; stats + AQE still
-    // pick a broadcast at scales where the list is genuinely small.
-    val pruned = index.join(rare, Seq("gram"))
+    // SIZE-GATED broadcast (corpusSmall): the rare-gram list (2 <= df
+    // <= 50) grows roughly linearly with corpus vocabulary — under
+    // Zipf, MOST distinct grams are rare — so an unconditional hint is
+    // unbounded executor state at 100 TB. But an unconditional de-hint
+    // shuffles the ENTIRE exploded index on gram (the aggregate-shaped
+    // rare exceeds the planner's 10 MB default and its stats estimate
+    // inflates to its child's size, so the planner never broadcasts it
+    // unaided — measured r12: ngram_jaccard_pairs 12 s -> 62 s solo at
+    // sf100). Below the corpus gate the list is bounded (<= corpus/2
+    // bytes by df >= 2; tens of MB measured) and rides a broadcast;
+    // past the gate the shuffled equi-join is the scale-safe plan.
+    val pruned = index.join(
+      if (hintGramDim) broadcast(rare) else rare, Seq("gram"))
     val a = pruned.select(col("gram"), col("doc_id").as("doc_a"))
     val b = pruned.select(col("gram"), col("doc_id").as("doc_b"))
     val cands = a.join(b, Seq("gram"))
@@ -548,12 +564,15 @@ object TextOps extends QueryModule {
     // ---- Bigram language-model counts: P(w2|w1) = c(w1,w2)/c(w1) over
     //      the corpus — the n-gram statistic a data-quality LM filter
     //      thresholds on. Two map-side-combinable hash aggregates joined
-    //      on w1 — NO broadcast hint: the unigram side is the corpus
-    //      vocabulary, which grows with the corpus (Heaps' law), so a
-    //      forced broadcast is unbounded executor state at 100 TB; stats
-    //      + AQE broadcast it where it is genuinely small. Top bigrams
-    //      with a total-order tiebreak. The conditional probability
-    //      divides two exact longs — identical doubles on both engines.
+    //      on w1 — the unigram side is the corpus vocabulary, which
+    //      grows with the corpus (Heaps' law), so its broadcast is
+    //      size-gated on the same corpusSmall bound as the jaccard gram
+    //      dims (unconditional hint = unbounded executor state at
+    //      100 TB; unconditional de-hint = an extra full c12 exchange
+    //      the planner cannot avoid because aggregate stats inflate).
+    //      Top bigrams with a total-order tiebreak. The conditional
+    //      probability divides two exact longs — identical doubles on
+    //      both engines.
     Q("text_bigram_lm",
       (s, d) => {
         val pairs = documents(s, d)
@@ -568,7 +587,7 @@ object TextOps extends QueryModule {
         val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
           .cache()
         val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
-        c12.join(c1, Seq("w1"))
+        c12.join(if (corpusSmall(d)) broadcast(c1) else c1, Seq("w1"))
           .select(col("w1"), col("w2"), col("n12"),
             round(col("n12") / col("n1").cast("double"), 6).as("p_cond"))
           .orderBy(desc("n12"), asc("w1"), asc("w2"))

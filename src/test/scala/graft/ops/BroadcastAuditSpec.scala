@@ -29,9 +29,11 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "ops/GraphOps.scala" -> 6, // 1-row scalars + opt-in broadcastDeg flag
     "ops/ScaleOps.scala" -> 3, // ≤100 hot keys, IVF probes, lang thresholds
     "ops/VectorOps.scala" -> 3, // ANN query sets + 1-row count
+    "ops/TextOps.scala" -> 2, // corpusSmall-gated gram dims (rare, c1)
     "sources/Layout.scala" -> 1, // 1-row z-order bounds
     "streaming/StreamIngest.scala" -> 1, // caller-contract dim (Scaladoc)
     "streaming/StreamQueries.scala" -> 1, // 1-row watermark
+    "util/SizeGate.scala" -> 1, // THE gate: stats-bounded hint helper
   )
 
   test("every broadcast() call site in src/main is in the audited list") {
