@@ -200,14 +200,14 @@ object ScaleOps extends QueryModule {
     //      origin (verified r12: the post-AQE executed plan shows
     //      `AQEShuffleRead coalesced` over this exchange at shuffle=128,
     //      sf0.01) — but coalescing only fires while partitions sit
-    //      under the advisory size and parallelismFirst floor, so at
-    //      sf100 the 32→128 sweep still measured 12.6→40.5 s
-    //      (BENCH_NOTES round 11). The regression is a real-data regime,
-    //      not an AQE incapability: with partitions above the advisory
-    //      size every one of the 128 stays live, and a low-cardinality
-    //      group key (~1M suppkeys at sf100) spread over more reducers
-    //      pays per-task constants without shrinking the single
-    //      exchange. At cluster partition counts (thousands), size
+    //      under the advisory size and parallelismFirst floor. Both
+    //      regimes verified from executed plans: at sf100/128 the dump
+    //      shows NO AQEShuffleRead (partitions above advisory size, all
+    //      128 live), and the r11 sweep's 12.6→40.5 s reading mostly
+    //      dissolves solo (r12 solo min 20.4 s at 128) — the residual
+    //      is per-task constants on a low-cardinality group key (~1M
+    //      suppkeys) spread over more reducers without shrinking the
+    //      single exchange. At cluster partition counts (thousands), size
     //      shuffle.partitions to the group-key cardinality for this
     //      shape, or fall back to the default two-exchange plan.
     Q("a2_distinct_onepass",
