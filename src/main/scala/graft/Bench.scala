@@ -110,6 +110,15 @@ object Bench {
     // for the cluster-shape audit (SCALE.md: sweep 64/128/256 at sf100 to
     // show the suite doesn't depend on the local[32] sweet spot).
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Resolve the artifact's regime ints BEFORE the measurement loop:
+    // non-numeric values (`SPARK_GRAFT_CPUS=*` is valid for local[*])
+    // fall back to the documented "unknown" sentinel -1 — an hours-long
+    // sf100 run must never die on a cosmetic toInt after measuring
+    // (ADVICE r12). runs is appended after its own validation below.
+    def intOr(raw: String): Int =
+      try raw.toInt catch { case _: NumberFormatException => -1 }
+    val regimeCpus = intOr(cpus)
+    val regimeShuffle = intOr(shuffle)
     // session stability knobs (heartbeat armor etc.) live in Sessions —
     // shared with Profile so the two measurement regimes cannot drift
     val spark = Sessions.builder(cpus, shuffle).getOrCreate()
@@ -170,7 +179,7 @@ object Bench {
     require(headline.forall(results.contains),
       s"headline names missing from registry: ${
         headline.filterNot(results.contains).mkString(", ")}")
-    val regime = Regime(cpus.toInt, shuffle.toInt, runs)
+    val regime = Regime(regimeCpus, regimeShuffle, runs)
     val shortJson = renderJson(results, sfDir, Some(headline), loadAvg, regime)
     val fullJson = renderJson(results, sfDir, None, loadAvg, regime)
     println(shortJson)

@@ -112,10 +112,29 @@ object DataGen {
     (0 until n).map(_ => vocab(s.int(vocab.size))).mkString(" ")
   }
 
+  /** One documents row: ~5% near-duplicates (source text + " dup"),
+    * ~0.3% exact duplicates; both re-evaluate baseText at a non-special
+    * source id. Shared by [[generate]] and [[generateDocuments]]. */
+  private def docRow(id: Long): Document = {
+    val s = new Stream(7, id)
+    val nearDup = id % 20 == 7
+    val exactDup = id % 625 == 13
+    val text =
+      if ((nearDup || exactDup) && id > 2) {
+        var src = s.int(id.toInt)
+        while (src % 20 == 7 || src % 625 == 13) src = (src + 1) % id.toInt
+        if (nearDup) baseText(src) + " dup" else baseText(src)
+      } else baseText(id)
+    val lu = s.u01()
+    val lang = if (lu < 0.4) "en" else langs(((lu - 0.4) / 0.15).toInt.min(3))
+    Document(id, text, lang, s"src${id % 20}", text.length.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val clustered = args.headOption.contains("clustered")
-    val sf =
-      if (clustered) 0.0 else args.headOption.map(_.toDouble).getOrElse(1.0)
+    val docsOnly = args.headOption.contains("docs")
+    val sf = if (clustered || docsOnly) 0.0
+      else args.headOption.map(_.toDouble).getOrElse(1.0)
     val outDir = args.lift(1).getOrElse("/root/repo/testdata/sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -127,8 +146,26 @@ object DataGen {
       // `DataGen clustered <nVecs> <outDir>`: embeddings-only fixture in
       // the CLUSTERED regime (see generateClusteredEmbeddings).
       generateClusteredEmbeddings(spark, args(1).toLong, args(2))
+    } else if (docsOnly) {
+      // `DataGen docs <nDocs> <outDir>`: documents-only fixture — the
+      // docs-amplified knob for exercising the >2 GiB corpus-cache gate
+      // (TextOps.CORPUS_CACHE_MAX_BYTES) without a full sf300 star
+      // schema. Same law and SplitMix determinism as the main generator.
+      generateDocuments(spark, args(1).toLong, args(2))
     } else generate(spark, sf, outDir)
     spark.stop()
+  }
+
+  /** Documents-only fixture at an arbitrary row count (the corpus-gate
+    * scale knob). Identical per-id law to [[generate]]'s documents
+    * table — both route through [[docRow]]. */
+  def generateDocuments(spark: SparkSession, nDocs: Long,
+      outDir: String): Unit = {
+    import spark.implicits._
+    spark.range(nDocs).mapPartitions(_.map(id => docRow(id)))
+      .toDF().write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/documents.parquet")
+    println(s"DATAGEN docs-only n=$nDocs dir=$outDir")
   }
 
   /** Clustered-embedding fixture: label-centered Gaussians with the
@@ -247,20 +284,7 @@ object DataGen {
 
     // documents: ~5% near-duplicates (source text + " dup"), ~0.3% exact
     // duplicates; both re-evaluate baseText at a non-special source id.
-    save(range(nDocs).mapPartitions(_.map { id =>
-      val s = new Stream(7, id)
-      val nearDup = id % 20 == 7
-      val exactDup = id % 625 == 13
-      val text =
-        if ((nearDup || exactDup) && id > 2) {
-          var src = s.int(id.toInt)
-          while (src % 20 == 7 || src % 625 == 13) src = (src + 1) % id.toInt
-          if (nearDup) baseText(src) + " dup" else baseText(src)
-        } else baseText(id)
-      val lu = s.u01()
-      val lang = if (lu < 0.4) "en" else langs(((lu - 0.4) / 0.15).toInt.min(3))
-      Document(id, text, lang, s"src${id % 20}", text.length.toLong)
-    }).toDF(), "documents")
+    save(range(nDocs).mapPartitions(_.map(id => docRow(id))).toDF(), "documents")
 
     save(range(nVecs).mapPartitions(_.map { id =>
       val s = new Stream(9, id)

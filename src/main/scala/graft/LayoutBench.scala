@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-DAG-layout A/B for the sf100 spill family (VERDICT r12
+  * item 3): `balance_history` (full-entity window sort, 8.7× decade
+  * growth) and `flows_edges` (fact⋈fact equi-join, 6.7×) measured over
+  * plain parquet vs the bucketed layout `Pipeline.writeBuild(buckets)`
+  * lands for their blockchair twins — lineitem/orders bucketed on the
+  * join key, the debit∪credit change stream bucketed+sorted on
+  * (entity, ts). The claim under measurement: the layout's write-time
+  * shuffle makes the downstream join/window exchange-free at the scale
+  * where those exchanges spill.
+  *
+  * One arm per invocation (solo protocol, matching graft.Profile:
+  * cold JVM, 3 runs, min kept):
+  *   layout        — write the three bucketed tables, each timed
+  *   flows-plain | flows-bkt | balance-plain | balance-bkt
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE,
+  * SPARK_GRAFT_BUCKETS (default 128 — sf100's change stream is ~750M
+  * rows, ≈6M rows per bucket-sorted write task).
+  *
+  * The query arms reuse the registry's OWN expression builders
+  * (`DomainModels.flowsFrom` / `balanceChanges` / `balanceOver`), so
+  * the A/B measures layout, not a rephrased query. */
+object LayoutBench {
+
+  private val L = "layout_lineitem_bkt"
+  private val O = "layout_orders_bkt"
+  private val C = "layout_changes_bkt"
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "128").toInt
+    val spark = Sessions.builder(cpus, shuffle).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def timedWrite(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"LAYOUTBENCH write $name time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    def runArm(name: String, mk: () => DataFrame): Unit = {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = mk().count()
+        println(f"LAYOUTBENCH $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      // plan evidence, untimed: drive THIS df's queryExecution to its
+      // final adaptive shape, then count Exchange nodes
+      val df = mk()
+      df.queryExecution.toRdd.foreach(_ => ())
+      val plan = df.queryExecution.executedPlan.toString
+      val ex = "Exchange".r.findAllIn(plan).length
+      println(s"LAYOUTBENCH $name exchanges=$ex")
+      println(s"PLAN $name:\n$plan")
+    }
+
+    args.headOption.getOrElse("") match {
+      case "layout" =>
+        // the write-once costs the reads amortize; each table lands as
+        // one file per bucket (Bucketing pre-repartitions), bucket-sorted
+        timedWrite(L)(sources.Bucketing.writeBucketed(
+          Tables.lineitem(spark, d), L, Seq("l_orderkey"), buckets,
+          Seq("l_orderkey")))
+        timedWrite(O)(sources.Bucketing.writeBucketed(
+          Tables.orders(spark, d), O, Seq("o_orderkey"), buckets,
+          Seq("o_orderkey")))
+        timedWrite(C)(sources.Bucketing.writeBucketed(
+          ops.DomainModels.balanceChanges(spark, d), C, Seq("entity"),
+          buckets, Seq("entity", "ts")))
+      case "flows-plain" =>
+        runArm("flows-plain", () =>
+          ops.DomainModels.flowsFrom(
+            Tables.lineitem(spark, d), Tables.orders(spark, d)))
+      case "flows-bkt" =>
+        runArm("flows-bkt", () =>
+          ops.DomainModels.flowsFrom(spark.table(L), spark.table(O)))
+      case "balance-plain" =>
+        runArm("balance-plain", () =>
+          ops.DomainModels.balanceOver(
+            ops.DomainModels.balanceChanges(spark, d)))
+      case "balance-bkt" =>
+        runArm("balance-bkt", () =>
+          ops.DomainModels.balanceOver(spark.table(C)))
+      case other =>
+        sys.error(s"unknown arm '$other' — expected layout | flows-plain" +
+          " | flows-bkt | balance-plain | balance-bkt")
+    }
+    spark.stop()
+  }
+}

@@ -23,7 +23,13 @@ object Profile {
       val n = df.count()
       println(f"PROFILE $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
       if (explain && i == 1) {
-        df.collect() // drive df's OWN plan to its final adaptive shape
+        // drive df's OWN plan to its final adaptive shape WITHOUT
+        // materializing the result on the driver (fact-proportional
+        // outputs would OOM an sf100 adjudication run — ADVICE r12).
+        // Must be THIS queryExecution's toRdd: Dataset.foreach/rdd
+        // build a separate deserializing QueryExecution, whose
+        // execution would leave the plan printed below non-final.
+        df.queryExecution.toRdd.foreach(_ => ())
         println(s"PLAN $name:\n${df.queryExecution.executedPlan}")
       }
       // same reset as Bench: clearCache drops pinned blocks, System.gc()

@@ -30,6 +30,48 @@ import graft.Tables._
   */
 object CorpusOps extends QueryModule {
 
+  /** dup_clusters' body over an injected near-dup pairs provider —
+    * `(rawPairs, releaseDocs)` as returned by any of the
+    * `TextOps.jaccardPairs*` variants. Factored out so the layout A/B
+    * (graft.JaccardBench) can run the SAME clustering over the cache
+    * arm and the bucketed arm explicitly; the registry query routes
+    * through the size gate (`jaccardPairsAuto`).
+    *
+    * Materializes the (small) pair list ONCE, then drops every
+    * corpus-sized input BEFORE the loop: ccLogStar references its
+    * edge input from several subtrees (canon + the node universe),
+    * so handing it the raw jaccard lineage would re-run the
+    * inverted-index join per reference, and the corpus docs cache
+    * must not stay pinned through O(log n) rounds that only touch
+    * the edge list. The checkpoint blocks are edge-list-sized and
+    * explicitly released once the (checkpointed) result exists.
+    * The checkpoint materialization itself runs the jaccard join,
+    * so it sits INSIDE the try: if a task fails mid-materialization
+    * the finally still releases the corpus-sized docs cache and any
+    * partially created checkpoint blocks (pairs stays null until
+    * ckptTracked returns; the release is null-guarded). */
+  private[graft] def dupClustersFrom(
+      provider: (org.apache.spark.sql.DataFrame, () => Unit))
+      : org.apache.spark.sql.DataFrame = {
+    val (rawPairs, releaseDocs) = provider
+    var pairs: org.apache.spark.sql.DataFrame = null
+    var pairIds: Set[Int] = Set.empty
+    try {
+      val cp = graft.util.Checkpoints.ckptTracked(
+        rawPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      pairs = cp._1; pairIds = cp._2
+      releaseDocs()
+      val cc = GraphOps.ccLogStar(pairs)
+      cc.select(col("node").as("doc_id"),
+        col("component_id").as("cluster_id"),
+        col("component_size").as("cluster_size"),
+        (col("node") === col("component_id")).as("is_canonical"))
+    } finally {
+      releaseDocs() // idempotent failure backstop
+      if (pairs != null) graft.util.Checkpoints.release(pairs, pairIds)
+    }
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- Duplicate-cluster resolution: connected components over the
@@ -53,40 +95,10 @@ object CorpusOps extends QueryModule {
     //      registers nothing with the cacheManager; the corpus-sized
     //      docs cache inside jaccardPairs is released in the finally.
     Q("dup_clusters",
-      (s, d) => {
+      (s, d) =>
         // size-gated: cache plan at gate scale, bucketed-table layout past
         // TextOps.CORPUS_CACHE_MAX_BYTES (the 100 TB corpus path)
-        val (rawPairs, releaseDocs) = TextOps.jaccardPairsAuto(s, d)
-        // Materialize the (small) pair list ONCE, then drop every
-        // corpus-sized input BEFORE the loop: ccLogStar references its
-        // edge input from several subtrees (canon + the node universe),
-        // so handing it the raw jaccard lineage would re-run the
-        // inverted-index join per reference, and the corpus docs cache
-        // must not stay pinned through O(log n) rounds that only touch
-        // the edge list. The checkpoint blocks are edge-list-sized and
-        // explicitly released once the (checkpointed) result exists.
-        // The checkpoint materialization itself runs the jaccard join,
-        // so it sits INSIDE the try: if a task fails mid-materialization
-        // the finally still releases the corpus-sized docs cache and any
-        // partially created checkpoint blocks (pairs stays null until
-        // ckptTracked returns; the release is null-guarded).
-        var pairs: org.apache.spark.sql.DataFrame = null
-        var pairIds: Set[Int] = Set.empty
-        try {
-          val cp = graft.util.Checkpoints.ckptTracked(
-            rawPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-          pairs = cp._1; pairIds = cp._2
-          releaseDocs()
-          val cc = GraphOps.ccLogStar(pairs)
-          cc.select(col("node").as("doc_id"),
-            col("component_id").as("cluster_id"),
-            col("component_size").as("cluster_size"),
-            (col("node") === col("component_id")).as("is_canonical"))
-        } finally {
-          releaseDocs() // idempotent failure backstop
-          if (pairs != null) graft.util.Checkpoints.release(pairs, pairIds)
-        }
-      },
+        dupClustersFrom(TextOps.jaccardPairsAuto(s, d)),
       Some(s"""WITH RECURSIVE
             pairs AS (SELECT doc_a, doc_b
                       FROM (${TextOps.jaccardPairsSql})),

@@ -22,24 +22,56 @@ import Parity._
   */
 object DomainModels extends QueryModule {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** flows_edges' join+projection over ANY layout of the two inputs
+    * (plain parquet or bucketed tables) — the bucketed-layout A/B
+    * (graft.LayoutBench) must measure the identical expressions the
+    * registry query runs. */
+  private[graft] def flowsFrom(l: DataFrame, o: DataFrame): DataFrame =
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        col("l_suppkey").as("source_id"),
+        col("o_custkey").as("dest_id"),
+        col("o_orderdate").as("tx_time"),
+        col("l_orderkey").as("tx_id"),
+        col("l_linenumber").as("line_no"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("value"),
+        when(col("o_orderstatus") === "F", "final")
+          .otherwise("pending").as("tx_type"))
+
+  /** balance_history's debit∪credit change stream — the frame a 100 TB
+    * deployment materializes ONCE bucketed by entity (the layout
+    * `Pipeline.writeBuild(buckets)` lands for the blockchair balances
+    * mart); [[balanceOver]] then windows over it exchange-free. */
+  private[graft] def balanceChanges(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val debits = o.select(col("o_custkey").as("entity"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("ref_id"),
+      (-col("o_totalprice")).as("delta"))
+    val l = lineitem(s, d)
+    val credits = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("entity"),
+        col("o_orderdate").as("ts"), col("l_orderkey").as("ref_id"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("delta"))
+    debits.unionByName(credits)
+  }
+
+  /** The running-balance window over a changes frame of any layout. */
+  private[graft] def balanceOver(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("entity").orderBy("ts")
+    changes.select(col("entity"), col("ts"), col("ref_id"),
+      col("delta"),
+      outDec(sum(dec(col("delta"))).over(w)).as("running_balance"))
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("flows_edges",
-      (s, d) => {
-        val l = lineitem(s, d)
-        val o = orders(s, d)
-        l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .select(
-            col("l_suppkey").as("source_id"),
-            col("o_custkey").as("dest_id"),
-            col("o_orderdate").as("tx_time"),
-            col("l_orderkey").as("tx_id"),
-            col("l_linenumber").as("line_no"),
-            (col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .as("value"),
-            when(col("o_orderstatus") === "F", "final")
-              .otherwise("pending").as("tx_type"))
-      },
+      (s, d) => flowsFrom(lineitem(s, d), orders(s, d)),
       Some("""SELECT l_suppkey AS source_id, o_custkey AS dest_id,
               o_orderdate AS tx_time, l_orderkey AS tx_id,
               l_linenumber AS line_no,
@@ -49,23 +81,7 @@ object DomainModels extends QueryModule {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")),
 
     Q("balance_history",
-      (s, d) => {
-        val o = orders(s, d)
-        val debits = o.select(col("o_custkey").as("entity"),
-          col("o_orderdate").as("ts"), col("o_orderkey").as("ref_id"),
-          (-col("o_totalprice")).as("delta"))
-        val l = lineitem(s, d)
-        val credits = l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .select(col("o_custkey").as("entity"),
-            col("o_orderdate").as("ts"), col("l_orderkey").as("ref_id"),
-            (col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .as("delta"))
-        val changes = debits.unionByName(credits)
-        val w = Window.partitionBy("entity").orderBy("ts")
-        changes.select(col("entity"), col("ts"), col("ref_id"),
-          col("delta"),
-          outDec(sum(dec(col("delta"))).over(w)).as("running_balance"))
-      },
+      (s, d) => balanceOver(balanceChanges(s, d)),
       Some(s"""WITH changes AS (
                 SELECT o_custkey AS entity, o_orderdate AS ts,
                        o_orderkey AS ref_id, -o_totalprice AS delta

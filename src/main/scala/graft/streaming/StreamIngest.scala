@@ -124,19 +124,22 @@ object StreamIngest {
 
   /** Stream-static enrich: per-micro-batch dimension lookup. The static
     * side is planned fresh each batch (so a slowly-changing dim picks up
-    * between batches) and explicitly broadcast — at 100 TB/day stream
-    * volume the dim join must never shuffle the stream.
+    * between batches) and broadcast through the size gate — at
+    * 100 TB/day stream volume the dim join must never shuffle the
+    * stream, but a forced hint on an unbounded side is the per-executor
+    * OOM class r10-r12 removed everywhere else, so the hint is now
+    * defensive-by-default ([[graft.util.SizeGate.broadcastIfSmall]]:
+    * hint iff Catalyst's size estimate fits an executor; unknown = big).
     *
-    * CALLER CONTRACT (broadcast audit, SCALE.md): `dim` must be
-    * executor-memory bounded — a genuine dimension (currencies, asset
-    * metadata, config), NOT anything that grows with the fact/stream
-    * volume. The hint is this function's point (never shuffle the
-    * stream), so the boundedness obligation moves to the caller; pass a
-    * fact-proportional frame here and you have reintroduced the forced-
-    * broadcast OOM class r10-r12 removed everywhere else. */
+    * CALLER CONTRACT (broadcast audit, SCALE.md) still holds: `dim`
+    * should be a genuine dimension (currencies, asset metadata, config),
+    * NOT anything that grows with the fact/stream volume — the gate
+    * un-hints an oversized or aggregate-shaped dim (whose stats inflate
+    * to its child's size), and the join then shuffles the stream, which
+    * is slow-but-safe rather than this function's fast path. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
       key: String): DataFrame =
-    stream.join(broadcast(dim), Seq(key), "left")
+    stream.join(graft.util.SizeGate.broadcastIfSmall(dim), Seq(key), "left")
 
   /** Stream-stream inner join with bounded state: both sides carry
     * watermarks and the join condition carries an event-time band, so

@@ -31,7 +31,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "ops/VectorOps.scala" -> 3, // ANN query sets + 1-row count
     "ops/TextOps.scala" -> 2, // corpusSmall-gated gram dims (rare, c1)
     "sources/Layout.scala" -> 1, // 1-row z-order bounds
-    "streaming/StreamIngest.scala" -> 1, // caller-contract dim (Scaladoc)
+    // streaming/StreamIngest.scala: 0 since r13 — enrichWithDim's dim
+    // hint moved behind SizeGate.broadcastIfSmall
     "streaming/StreamQueries.scala" -> 1, // 1-row watermark
     "util/SizeGate.scala" -> 1, // THE gate: stats-bounded hint helper
   )
@@ -41,9 +42,28 @@ class BroadcastAuditSpec extends AnyFunSuite {
     assert(root.isDirectory, s"source root not found from ${
       new java.io.File(".").getAbsolutePath}")
     def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(files)
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.flatMap(files))
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
     val call = "\\bbroadcast\\(".r
+    // Drop a trailing line comment, but only at a '//' OUTSIDE string
+    // literals — a naive split("//") would also truncate at a URL or
+    // path inside a string and silently exclude a broadcast( call
+    // later on the same line (ADVICE r12). Good enough for one-line
+    // scans: tracks double-quote parity incl. \" escapes; multi-line
+    // strings spanning the '//' would need a real lexer.
+    def stripLineComment(line: String): String = {
+      var inStr = false; var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inStr && c == '\\') i += 1
+        else if (c == '"') inStr = !inStr
+        else if (!inStr && c == '/' && i + 1 < line.length &&
+          line.charAt(i + 1) == '/') return line.substring(0, i)
+        i += 1
+      }
+      line
+    }
     val found = files(root).map { f =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
       val n = try src.getLines().map { line =>
@@ -52,7 +72,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
         // counts CALLS, and hint-removal rationale comments legitimately
         // name broadcast()
         if (t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")) 0
-        else call.findAllIn(line.split("//").head).length
+        else call.findAllIn(stripLineComment(line)).length
       }.sum finally src.close()
       f.getPath.replace('\\', '/')
         .stripPrefix("src/main/scala/graft/") -> n
