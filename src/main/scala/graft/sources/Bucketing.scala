@@ -29,7 +29,20 @@ object Bucketing {
       buckets: Int, sortCols: Seq[String] = Nil,
       path: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
-    if (path.isDefined) df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val ss = df.sparkSession
+    if (path.isDefined) ss.sql(s"DROP TABLE IF EXISTS $table")
+    else if (!ss.catalog.tableExists(table)) {
+      // Managed-table rerun across sessions: with a non-persistent
+      // catalog a dead session's files still occupy the default
+      // location while the table entry is gone — saveAsTable then
+      // refuses with LOCATION_ALREADY_EXISTS instead of overwriting.
+      // Clear the stale location first (default-db managed layout:
+      // <warehouse>/<table lowercased>).
+      val loc = new org.apache.hadoop.fs.Path(
+        ss.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(ss.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.repartition(buckets, bucketCols.map(col): _*)
       .write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
