@@ -64,10 +64,13 @@ object JaccardBench {
 
     args.headOption.getOrElse("") match {
       case "gate" =>
-        val small = TextOps.corpusSmall(spark, d)
-        println(s"JACCARDBENCH gate corpusSmall=$small -> Auto picks " +
-          (if (small) "cache" else "bucketed") +
-          s" (bound=${TextOps.CORPUS_CACHE_MAX_BYTES} bytes)")
+        val cacheable = TextOps.corpusCacheable(spark, d)
+        val bcast = TextOps.corpusBcastable(spark, d)
+        println(s"JACCARDBENCH gate corpusCacheable=$cacheable -> Auto " +
+          s"picks ${if (cacheable) "cache" else "bucketed"} " +
+          s"(bound=${TextOps.CORPUS_CACHE_MAX_BYTES} bytes); " +
+          s"corpusBcastable=$bcast " +
+          s"(bound=${TextOps.CORPUS_BCAST_MAX_BYTES} bytes)")
       case "pairs-cache" => runPairs("pairs-cache", cacheArm)
       case "pairs-bkt" => runPairs("pairs-bkt", bktArm)
       case "pairs-bkt-reuse" =>

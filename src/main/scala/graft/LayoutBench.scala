@@ -37,6 +37,24 @@ object LayoutBench {
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    // The layout is written by one JVM and read by later solo JVMs —
+    // the files survive in the warehouse but the in-memory catalog
+    // entry does not. Re-register the existing bucketed files as an
+    // external table (schema read from the parquet footers, bucket
+    // metadata restated in the DDL; Spark recovers per-file bucket ids
+    // from the file names).
+    def ensureTable(t: String, bucketCols: Seq[String],
+        sortCols: Seq[String]): Unit =
+      if (!spark.catalog.tableExists(t)) {
+        val loc = s"${spark.conf.get("spark.sql.warehouse.dir")}/${t.toLowerCase}"
+        val schema = spark.read.parquet(loc).schema.toDDL
+        spark.sql(s"""CREATE TABLE $t ($schema) USING parquet
+          CLUSTERED BY (${bucketCols.mkString(", ")})
+          SORTED BY (${sortCols.mkString(", ")})
+          INTO $buckets BUCKETS
+          LOCATION '$loc'""")
+      }
+
     def timedWrite(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
@@ -46,7 +64,14 @@ object LayoutBench {
     def runArm(name: String, mk: () => DataFrame): Unit = {
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        val n = mk().count()
+        // NOT df.count(): under count() Catalyst prunes the unreferenced
+        // window expressions and the Window node itself (and the mart's
+        // projection down to the join keys) — the bucketed arm then
+        // collapses to a parquet metadata count and "measures" 750M rows
+        // in 0.5 s. toRdd.count() runs the FIXED physical plan and
+        // produces every mart row executor-side — the honest
+        // "materialize the model" action this A/B is about.
+        val n = mk().queryExecution.toRdd.count()
         println(f"LAYOUTBENCH $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
         spark.catalog.clearCache()
         System.gc()
@@ -79,6 +104,8 @@ object LayoutBench {
           ops.DomainModels.flowsFrom(
             Tables.lineitem(spark, d), Tables.orders(spark, d)))
       case "flows-bkt" =>
+        ensureTable(L, Seq("l_orderkey"), Seq("l_orderkey"))
+        ensureTable(O, Seq("o_orderkey"), Seq("o_orderkey"))
         runArm("flows-bkt", () =>
           ops.DomainModels.flowsFrom(spark.table(L), spark.table(O)))
       case "balance-plain" =>
@@ -86,6 +113,7 @@ object LayoutBench {
           ops.DomainModels.balanceOver(
             ops.DomainModels.balanceChanges(spark, d)))
       case "balance-bkt" =>
+        ensureTable(C, Seq("entity"), Seq("entity", "ts"))
         runArm("balance-bkt", () =>
           ops.DomainModels.balanceOver(spark.table(C)))
       case other =>

@@ -60,21 +60,27 @@ object TextOps extends QueryModule {
     // table on doc_id ([[jaccardPairsBucketed]]) — same plan, the
     // corpus-sized state on disk in a join-colocated layout instead.
     val docs = shingledDocs(s, d).cache()
-    (jaccardPairsFrom(docs, corpusSmall(s, d)),
+    (jaccardPairsFrom(docs, corpusBcastable(s, d)),
       () => { docs.unpersist(); () })
   }
 
-  /** The one size gate for corpus-proportional in-memory state: below
-    * it the cache and the gram-dim broadcasts (each bounded by the
-    * corpus's own bytes — rare grams carry df ≥ 2, so ≤ corpus/2;
-    * measured tens of MB at sf100's 560 MB corpus) are acceptable by
-    * the same argument; above it the cache becomes a bucketed table and
-    * the gram joins run shuffled. Fails CLOSED (SizeGate's contract):
-    * an unreadable or unknown-size corpus is treated as big, so the
-    * scale-safe shuffled/bucketed arm is the default on any filesystem
-    * the gate cannot measure. */
-  private[graft] def corpusSmall(s: SparkSession, d: String): Boolean =
+  /** Cache-layout gate: below it the shingled corpus rides an executor
+    * cache; above it [[jaccardPairsAuto]] lands it as a bucketed table.
+    * Fails CLOSED (SizeGate's contract): an unreadable or unknown-size
+    * corpus is treated as big, so the scale-safe bucketed arm is the
+    * default on any filesystem the gate cannot measure. */
+  private[graft] def corpusCacheable(s: SparkSession, d: String): Boolean =
     dirBytes(s, s"$d/documents.parquet") <= CORPUS_CACHE_MAX_BYTES
+
+  /** Gram-dim broadcast gate, deliberately SEPARATE from the cache
+    * gate since r13: the r12 design used one bound for both, but the
+    * measured crossovers differ by ~4× (BENCH_NOTES r13 corpus-layout
+    * sweep) — the cache starts losing to the bucketed table around
+    * 1 GiB, while the rare-gram broadcast (≤ corpus/2 bytes by df ≥ 2,
+    * tens of MB measured at the 560 MB sf100 corpus) stays worth ~5×
+    * (r12 A/B) until the corpus itself passes 2 GiB. Fails closed. */
+  private[graft] def corpusBcastable(s: SparkSession, d: String): Boolean =
+    dirBytes(s, s"$d/documents.parquet") <= CORPUS_BCAST_MAX_BYTES
 
   /** The shingled corpus: one row per doc with its distinct bigram set —
     * the dataset every jaccard variant reads three times (index build +
@@ -85,17 +91,31 @@ object TextOps extends QueryModule {
 
   /** Corpus bytes (parquet on disk) above which [[jaccardPairsAuto]]
     * stops caching the shingled corpus and persists it as a bucketed
-    * table instead. 2 GiB: comfortably above every gate/bench scale
-    * (sf0.1 documents ≈ 6 MB, sf100 ≈ 560 MB — all cache-path), far
-    * below the executor-memory cliff the cache would hit first. */
-  private[graft] val CORPUS_CACHE_MAX_BYTES: Long = 2L << 30
+    * table instead. Re-tuned 2 GiB → 1 GiB from the r13 corpus-layout
+    * sweep (BENCH_NOTES, solo min-of-3, 96 GiB heap): at 1.1 GiB the
+    * cache arm already loses 1.7× to the bucketed arm (102 vs 61 s)
+    * with a 4.2× run spread from cache-spill churn, and at 2.8 GiB it
+    * cannot finish at all (the shingled corpus inflates ~10× in memory,
+    * fills >50 GB of local spill, dies ENOSPC) while the bucketed arm
+    * completes in 288 s. 560 MB (sf100) stays cache-path — ambiguous
+    * there (solo-cold favored the table 1.3×, the warm in-suite regime
+    * favors the cache), so the bound sits at the last scale where the
+    * cache is defensible, below every measured loss. */
+  private[graft] val CORPUS_CACHE_MAX_BYTES: Long = 1L << 30
+
+  /** Corpus bytes above which the gram-dim broadcasts (rare-gram list,
+    * bigram-LM unigram side) de-hint to shuffled joins — the r12 bound,
+    * now scoped to broadcasts only: each dim is ≤ corpus/2 bytes by
+    * construction, so 2 GiB corpus ⇒ ≤ 1 GiB worst-case dim, the edge
+    * of a 2-3 GiB/task executor budget. */
+  private[graft] val CORPUS_BCAST_MAX_BYTES: Long = 2L << 30
 
   /** Size-gated entry: the cache plan under the threshold, the
     * bucketed-table plan above it. The gate reads file sizes (bounded
     * filesystem metadata), never the data. */
   private[graft] def jaccardPairsAuto(
       s: SparkSession, d: String): (DataFrame, () => Unit) =
-    if (corpusSmall(s, d))
+    if (corpusCacheable(s, d))
       jaccardPairsWithRelease(s, d)
     else (jaccardPairsBucketed(s, d), () => ())
 
@@ -148,7 +168,7 @@ object TextOps extends QueryModule {
     * its own freshness contract (and JaccardBench's reuse arm). */
   private[graft] def jaccardPairsOverTable(s: SparkSession, d: String,
       table: String): DataFrame =
-    jaccardPairsFrom(s.table(table), corpusSmall(s, d))
+    jaccardPairsFrom(s.table(table), corpusBcastable(s, d))
 
   /** Inverted-index candidate generation + exact-jaccard verification
     * over an already-materialized shingled corpus (cached or bucketed —
@@ -159,7 +179,7 @@ object TextOps extends QueryModule {
       explode(col("grams")).as("gram"))
     val rare = index.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50 && col("df") >= 2)
-    // SIZE-GATED broadcast (corpusSmall): the rare-gram list (2 <= df
+    // SIZE-GATED broadcast (corpusBcastable): the rare-gram list (2 <= df
     // <= 50) grows roughly linearly with corpus vocabulary — under
     // Zipf, MOST distinct grams are rare — so an unconditional hint is
     // unbounded executor state at 100 TB. But an unconditional de-hint
@@ -600,7 +620,7 @@ object TextOps extends QueryModule {
     //      thresholds on. Two map-side-combinable hash aggregates joined
     //      on w1 — the unigram side is the corpus vocabulary, which
     //      grows with the corpus (Heaps' law), so its broadcast is
-    //      size-gated on the same corpusSmall bound as the jaccard gram
+    //      size-gated on the same corpusBcastable bound as the jaccard gram
     //      dims (unconditional hint = unbounded executor state at
     //      100 TB; unconditional de-hint = an extra full c12 exchange
     //      the planner cannot avoid because aggregate stats inflate).
@@ -621,7 +641,7 @@ object TextOps extends QueryModule {
         val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
           .cache()
         val c1 = c12.groupBy("w1").agg(sum(col("n12")).as("n1"))
-        c12.join(if (corpusSmall(s, d)) broadcast(c1) else c1, Seq("w1"))
+        c12.join(if (corpusBcastable(s, d)) broadcast(c1) else c1, Seq("w1"))
           .select(col("w1"), col("w2"), col("n12"),
             round(col("n12") / col("n1").cast("double"), 6).as("p_cond"))
           .orderBy(desc("n12"), asc("w1"), asc("w2"))

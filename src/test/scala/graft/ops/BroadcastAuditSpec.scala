@@ -29,7 +29,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "ops/GraphOps.scala" -> 6, // 1-row scalars + opt-in broadcastDeg flag
     "ops/ScaleOps.scala" -> 3, // ≤100 hot keys, IVF probes, lang thresholds
     "ops/VectorOps.scala" -> 3, // ANN query sets + 1-row count
-    "ops/TextOps.scala" -> 2, // corpusSmall-gated gram dims (rare, c1)
+    "ops/TextOps.scala" -> 2, // corpusBcastable-gated gram dims (rare, c1)
     "sources/Layout.scala" -> 1, // 1-row z-order bounds
     // streaming/StreamIngest.scala: 0 since r13 — enrichWithDim's dim
     // hint moved behind SizeGate.broadcastIfSmall

@@ -98,13 +98,15 @@ class TextBucketedSpec extends SparkSpec {
     "to 0 bytes and failed OPEN into the unbounded cache/broadcast " +
     "plans)") {
     // a dir with no documents.parquet at all — getContentSummary throws,
-    // dirBytes must report Long.MaxValue, corpusSmall must say NO
-    assert(!TextOps.corpusSmall(spark, "/nonexistent/graft-gate-probe"))
+    // dirBytes must report Long.MaxValue, both gates must say NO
+    assert(!TextOps.corpusCacheable(spark, "/nonexistent/graft-gate-probe"))
+    assert(!TextOps.corpusBcastable(spark, "/nonexistent/graft-gate-probe"))
     // a non-local scheme the session's Hadoop conf cannot resolve —
     // the exact deployment shape the r12 gate silently mis-routed
-    assert(!TextOps.corpusSmall(spark,
+    assert(!TextOps.corpusCacheable(spark,
       "hdfs://nonexistent-namenode:8020/corpora/x"))
-    // sanity: a real, tiny local fixture still measures small
-    assert(TextOps.corpusSmall(spark, sf))
+    // sanity: a real, tiny local fixture still measures small on both
+    assert(TextOps.corpusCacheable(spark, sf))
+    assert(TextOps.corpusBcastable(spark, sf))
   }
 }
