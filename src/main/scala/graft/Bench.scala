@@ -56,8 +56,13 @@ object Bench {
     * 32→128), and the banked sf100 artifact used non-default runs=2 —
     * artifacts from different regimes must be distinguishable without
     * cross-referencing SCALE.md prose. -1 = unknown (pure-function
-    * tests). */
-  final case class Regime(cpus: Int = -1, shuffle: Int = -1, runs: Int = -1)
+    * tests). `action` names the timing action regime (r14: "auto" =
+    * toRdd.count() for window-pruned entries, count() otherwise;
+    * "count" = legacy; "rdd" = toRdd.count() everywhere) — numbers from
+    * different action regimes are not comparable for the affected
+    * entries, so the artifact must say which one produced it. */
+  final case class Regime(cpus: Int = -1, shuffle: Int = -1, runs: Int = -1,
+      action: String = "?")
 
   /** One JSON line: total over SUCCEEDED queries, per-query seconds
     * (failed ones carry -1.0), an explicit `failed` name list, and the
@@ -93,7 +98,7 @@ object Bench {
     val load = s""""load_avg":{"start":${num(loadAvg._1)},""" +
       s""""end":${num(loadAvg._2)}}"""
     val reg = s""""cpus":${regime.cpus},"shuffle":${regime.shuffle},""" +
-      s""""runs":${regime.runs}"""
+      s""""runs":${regime.runs},"action":"${regime.action}""""
     s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"failed":$failed,"noise_suspect":$noisy,""" +
       s""""spread":$spreads,$load,$reg,"sf":"$sf"}"""
@@ -124,12 +129,53 @@ object Bench {
     val spark = Sessions.builder(cpus, shuffle).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup at the smallest SF first: JIT + codegen compilation otherwise
-    // lands entirely in the first measured query.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count() }
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+    // lands entirely in the first measured query. The same pass detects,
+    // per query, whether count() PRUNES a Window node from the plan —
+    // r13's own finding: df.count() optimizes to groupBy().count(), and
+    // Catalyst drops window expressions nothing references, so the
+    // window family (w1_running_balance, balance_history, x13_sessionize,
+    // x15_window_values, seq_packing, ...) was benching a plan with the
+    // windows GONE (r11's "108.7 s balance spill" was the join tier).
+    // Detection is plan-shape only (analysis + optimization, no jobs)
+    // and self-maintaining: a future window query gets the honest
+    // action without a hand-kept name list.
+    def hasWindow(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean =
+      p.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isDefined
+    val windowPruned: Set[String] =
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val pruned = try {
+          val df = fn(spark, "/root/testdata/sf0.001")
+          df.count()
+          hasWindow(df.queryExecution.optimizedPlan) &&
+            !hasWindow(df.groupBy().count().queryExecution.optimizedPlan)
+        } catch { case _: Throwable => false }
+        spark.catalog.clearCache()
+        if (pruned) Some(name) else None
+      }.toSet
+    // Timing action per query. Default "auto": entries whose windows
+    // count() would prune run toRdd.count() — executes the FIXED
+    // physical plan and produces every row executor-side (the honest
+    // "materialize the result" action; same choice as LayoutBench/
+    // JaccardBench, r13) — everything else keeps count() for
+    // cross-round comparability. "count"/"rdd" force one action
+    // everywhere (the dual-record transition columns, BENCH_NOTES r14).
+    val actionMode = sys.env.getOrElse("SPARK_GRAFT_ACTION", "auto")
+    require(Set("auto", "count", "rdd")(actionMode),
+      s"SPARK_GRAFT_ACTION must be auto|count|rdd, got '$actionMode'")
+    def action(name: String,
+        df: org.apache.spark.sql.DataFrame): Unit = actionMode match {
+      case "count" => df.count(); ()
+      case "rdd" => df.queryExecution.toRdd.count(); ()
+      case _ =>
+        if (windowPruned(name)) df.queryExecution.toRdd.count()
+        else df.count()
+        ()
     }
+    System.err.println(s"[bench] action=$actionMode window-pruned entries " +
+      s"(toRdd.count under auto): ${windowPruned.toSeq.sorted.mkString(", ")}")
     // Stable order + per-query cache isolation; three timed runs, min
     // kept. Two runs proved noise-fragile (r5: the official artifact
     // read 2× high on an unchanged query set when both runs landed on a
@@ -151,7 +197,7 @@ object Bench {
     }
     val results = measure(
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> (() => { fn(spark, sfDir).count(); () })
+        name -> (() => action(name, fn(spark, sfDir)))
       },
       runs = runs,
       // System.gc() prompts ContextCleaner's reference-queue pass, which
@@ -179,7 +225,7 @@ object Bench {
     require(headline.forall(results.contains),
       s"headline names missing from registry: ${
         headline.filterNot(results.contains).mkString(", ")}")
-    val regime = Regime(regimeCpus, regimeShuffle, runs)
+    val regime = Regime(regimeCpus, regimeShuffle, runs, actionMode)
     val shortJson = renderJson(results, sfDir, Some(headline), loadAvg, regime)
     val fullJson = renderJson(results, sfDir, None, loadAvg, regime)
     println(shortJson)

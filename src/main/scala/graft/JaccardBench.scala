@@ -15,6 +15,8 @@ import graft.ops.{CorpusOps, TextOps}
   * One arm per invocation (solo protocol: cold JVM, 3 runs, min kept):
   *   gate           — print the corpus's gate decision (which arm Auto picks)
   *   pairs-cache | pairs-bkt      — ngram_jaccard_pairs over each layout
+  *   pairs-auto                   — the routed gate entry itself: run1 pays
+  *                                  the memoized write, runs 2-3 amortize
   *   pairs-bkt-reuse              — bucketed table written once, then the
   *                                  query timed alone (the amortized regime
   *                                  a standing corpus table serves)
@@ -59,7 +61,11 @@ object JaccardBench {
         System.gc()
       }
 
-    val cacheArm = () => TextOps.jaccardPairsWithRelease(spark, d)
+    // the cache arm FORCES the cache — since r14 jaccardPairsWithRelease
+    // is itself size-gated, and an A/B of the layouts must run the
+    // cached plan even on corpora the gate (correctly) refuses
+    val cacheArm = () =>
+      TextOps.jaccardPairsWithRelease(spark, d, cached = Some(true))
     val bktArm = () => (TextOps.jaccardPairsBucketed(spark, d), () => ())
 
     args.headOption.getOrElse("") match {
@@ -73,6 +79,13 @@ object JaccardBench {
           s"(bound=${TextOps.CORPUS_BCAST_MAX_BYTES} bytes)")
       case "pairs-cache" => runPairs("pairs-cache", cacheArm)
       case "pairs-bkt" => runPairs("pairs-bkt", bktArm)
+      case "pairs-auto" =>
+        // the ROUTED path end-to-end (r14): run1 pays the memoized
+        // corpus-table write inside jaccardPairsAuto, runs 2-3 hit the
+        // (session, dataset) memo and read the standing table — the
+        // amortized regime the reuse arm measured, now reproduced
+        // through the gate entry the registry queries actually call
+        runPairs("pairs-auto", () => TextOps.jaccardPairsAuto(spark, d))
       case "pairs-bkt-reuse" =>
         // pay the write once (timed separately), then time the query
         // alone over the standing table
@@ -86,7 +99,8 @@ object JaccardBench {
       case "clusters-bkt" => runClusters("clusters-bkt", bktArm)
       case other =>
         sys.error(s"unknown arm '$other' — expected gate | pairs-cache |" +
-          " pairs-bkt | pairs-bkt-reuse | clusters-cache | clusters-bkt")
+          " pairs-bkt | pairs-auto | pairs-bkt-reuse | clusters-cache |" +
+          " clusters-bkt")
     }
     spark.stop()
   }

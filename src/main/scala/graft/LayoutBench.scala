@@ -42,16 +42,39 @@ object LayoutBench {
     // entry does not. Re-register the existing bucketed files as an
     // external table (schema read from the parquet footers, bucket
     // metadata restated in the DDL; Spark recovers per-file bucket ids
-    // from the file names).
+    // from the file names). The restated count comes from the layout's
+    // OWN _graft_buckets marker, never the reader JVM's env var: Spark
+    // trusts the DDL, so declaring more buckets than were written plans
+    // exchange-free SMJ/window over wrong bucket placement — silently
+    // wrong rows (ADVICE r13). The file names are cross-checked against
+    // the marker as a second, independent witness.
     def ensureTable(t: String, bucketCols: Seq[String],
         sortCols: Seq[String]): Unit =
       if (!spark.catalog.tableExists(t)) {
         val loc = s"${spark.conf.get("spark.sql.warehouse.dir")}/${t.toLowerCase}"
-        val schema = spark.read.parquet(loc).schema.toDDL
-        spark.sql(s"""CREATE TABLE $t ($schema) USING parquet
+        val actual = sources.Bucketing.readBucketMarker(spark, loc)
+          .getOrElse(sys.error(s"no ${sources.Bucketing.BucketMarkerFile} " +
+            s"marker at $loc — layout predates the marker or was not " +
+            "written by Bucketing.writeBucketed; rerun the layout arm"))
+        val fileMax = {
+          val dir = new org.apache.hadoop.fs.Path(loc)
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val bucketId = "_(\\d{5})\\.".r
+          fs.listStatus(dir).toSeq.map(_.getPath.getName)
+            .flatMap(n => bucketId.findFirstMatchIn(n).map(_.group(1).toInt))
+            .foldLeft(-1)(math.max)
+        }
+        require(fileMax < actual, s"layout at $loc has bucket-id $fileMax " +
+          s"in its file names but the marker says $actual buckets — " +
+          "marker/layout mismatch, refusing to register a wrong DDL")
+        if (actual != buckets)
+          println(s"LAYOUTBENCH note: SPARK_GRAFT_BUCKETS=$buckets but " +
+            s"layout at $loc was written with $actual — using $actual")
+        spark.sql(s"""CREATE TABLE $t (${spark.read.parquet(loc).schema.toDDL})
+          USING parquet
           CLUSTERED BY (${bucketCols.mkString(", ")})
           SORTED BY (${sortCols.mkString(", ")})
-          INTO $buckets BUCKETS
+          INTO $actual BUCKETS
           LOCATION '$loc'""")
       }
 

@@ -50,19 +50,39 @@ object TextOps extends QueryModule {
   /** [[jaccardPairs]] plus a thunk releasing its internal corpus cache —
     * for callers (dup_clusters' component loop) that materialize the
     * pairs eagerly and must not leave a corpus-sized cache pinned in a
-    * long-lived session. */
+    * long-lived session.
+    *
+    * SIZE-GATED since r14 (VERDICT r13 finding 1): the registered
+    * `ngram_jaccard_pairs` query routes here, and until r14 it pinned
+    * the shingled corpus in an UNCONDITIONAL `.cache()` — the exact
+    * plan the r13 corpus-layout sweep measured DNF-ENOSPC at a 2.8 GiB
+    * corpus (the shingled rows inflate ~10× in memory and spill >50 GB
+    * before the executor store gives up). Declared queries must stay
+    * analysis-only ([[Q]]'s laziness contract), so the bucketed-table
+    * arm (which writes during construction) is not available here;
+    * instead, above [[corpusCacheable]] the SAME lazy plan runs with no
+    * cache at all — the shingling is re-derived for the index build and
+    * the two verify joins (bounded recompute, ~3× the corpus scan),
+    * never unbounded executor state. Eager callers get the strictly
+    * better bucketed layout through [[jaccardPairsAuto]].
+    *
+    * `cached` overrides the gate for callers that are the A/B
+    * measurement itself (graft.JaccardBench's explicit cache arm) and
+    * for tests pinning the above-gate plan shape on KB fixtures. */
   private[graft] def jaccardPairsWithRelease(
-      s: SparkSession, d: String): (DataFrame, () => Unit) = {
-    // docs feeds the index and both sides of the final array join —
-    // cache it. Gate-scale only: the cache pins a corpus-sized dataset
-    // in executor memory. Past CORPUS_CACHE_MAX_BYTES callers should go
-    // through jaccardPairsAuto, which swaps the cache for a bucketed
-    // table on doc_id ([[jaccardPairsBucketed]]) — same plan, the
-    // corpus-sized state on disk in a join-colocated layout instead.
-    val docs = shingledDocs(s, d).cache()
-    (jaccardPairsFrom(docs, corpusBcastable(s, d)),
-      () => { docs.unpersist(); () })
-  }
+      s: SparkSession, d: String,
+      cached: Option[Boolean] = None): (DataFrame, () => Unit) =
+    if (cached.getOrElse(corpusCacheable(s, d))) {
+      // docs feeds the index and both sides of the final array join —
+      // cache it. Gate-scale only: the cache pins a corpus-sized
+      // dataset in executor memory.
+      val docs = shingledDocs(s, d).cache()
+      (jaccardPairsFrom(docs, corpusBcastable(s, d)),
+        () => { docs.unpersist(); () })
+    } else
+      // above the gate: one lazy plan, zero corpus-sized executor state
+      (jaccardPairsFrom(shingledDocs(s, d), corpusBcastable(s, d)),
+        () => ())
 
   /** Cache-layout gate: below it the shingled corpus rides an executor
     * cache; above it [[jaccardPairsAuto]] lands it as a bucketed table.
@@ -112,12 +132,51 @@ object TextOps extends QueryModule {
 
   /** Size-gated entry: the cache plan under the threshold, the
     * bucketed-table plan above it. The gate reads file sizes (bounded
-    * filesystem metadata), never the data. */
+    * filesystem metadata), never the data.
+    *
+    * The above-gate corpus-table write is memoized per (session,
+    * dataset dir) since r14 (VERDICT r13 missing-item 2): the r13 sweep
+    * measured the write at 541 s for a 2.8 GiB corpus vs 20 s for reads
+    * over the standing table, so two routed queries in one session
+    * (dup_clusters + split_leakage_safe) must share ONE write. The
+    * freshness contract is therefore per-session: a session sees the
+    * corpus as of its own first routed query — same contract as the
+    * cache arm below the gate, whose `.cache()` also freezes the corpus
+    * at first materialization. A re-created table name (dropped behind
+    * our back) is detected by a catalog re-check and rewritten.
+    *
+    * `cached` forces the gate for tests (KB fixtures are always below
+    * the real bound). */
   private[graft] def jaccardPairsAuto(
-      s: SparkSession, d: String): (DataFrame, () => Unit) =
-    if (corpusCacheable(s, d))
-      jaccardPairsWithRelease(s, d)
-    else (jaccardPairsBucketed(s, d), () => ())
+      s: SparkSession, d: String,
+      cached: Option[Boolean] = None): (DataFrame, () => Unit) =
+    if (cached.getOrElse(corpusCacheable(s, d)))
+      jaccardPairsWithRelease(s, d, cached = Some(true))
+    else (jaccardPairsOverTable(s, d, ensureBucketedCorpus(s, d)), () => ())
+
+  /** (session, dataset dir) → already-written bucketed corpus table.
+    * Same stopped-session eviction discipline as
+    * [[graft.util.PlanMemo]]: entries of stopped sessions are dropped
+    * on every access so a JVM cycling sessions cannot accumulate dead
+    * references. */
+  private val writtenCorpusTables = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Write-once (per session, per dataset) bucketed shingled-corpus
+    * table; returns its name. `compute` (not `computeIfAbsent`) so a
+    * memo entry whose table has been dropped from the catalog is
+    * rewritten instead of trusted. */
+  private[graft] def ensureBucketedCorpus(s: SparkSession, d: String): String = {
+    writtenCorpusTables.keySet.removeIf(_._1.sparkContext.isStopped)
+    writtenCorpusTables.compute((s, d), (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev)) prev
+      else {
+        val t = bucketedTableName(d)
+        graft.sources.Bucketing.writeBucketed(
+          shingledDocs(s, d), t, Seq("doc_id"), 8, Seq("doc_id"))
+        t
+      })
+  }
 
   /** Recursive on-disk byte count of `path` through the session's OWN
     * Hadoop filesystem — the same resolution `spark.read.parquet`
@@ -136,10 +195,18 @@ object TextOps extends QueryModule {
     } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 
   /** Default bucketed-corpus table name for dataset dir `d` — a stable
-    * hash of the dir, so distinct datasets sharing one warehouse can
-    * never alias each other's shingled corpus. */
-  private[graft] def bucketedTableName(d: String): String =
-    f"jaccard_docs_bkt_${scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL}%08x"
+    * 96-bit SHA-256 prefix of the dir, so distinct datasets sharing one
+    * warehouse get distinct tables (collision odds ~2⁻⁹⁶ per pair —
+    * negligible, though not provably zero; the r13 32-bit MurmurHash3
+    * made cross-dataset aliasing merely unlikely at warehouse scale,
+    * ADVICE r13). Stable across JVMs by design: amortized readers
+    * ([[jaccardPairsOverTable]], JaccardBench's reuse arm) re-derive
+    * the same name in later sessions. */
+  private[graft] def bucketedTableName(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8"))
+    s"jaccard_docs_bkt_${digest.take(12).map(b => f"$b%02x").mkString}"
+  }
 
   /** The 100 TB layout variant of [[jaccardPairsWithRelease]]: the
     * shingled corpus is persisted ONCE as a bucketed, sorted table on
@@ -154,7 +221,9 @@ object TextOps extends QueryModule {
     * (re)written on EVERY invocation — one shuffle + one corpus write
     * per call, the price of always reflecting the current corpus; a
     * caller re-querying an unchanged corpus many times can pass an
-    * explicit `table` and reuse it on its own freshness contract. */
+    * explicit `table` and reuse it on its own freshness contract, and
+    * the registry's routed queries share one write per (session,
+    * dataset) through [[ensureBucketedCorpus]]. */
   private[graft] def jaccardPairsBucketed(s: SparkSession, d: String,
       buckets: Int = 8, table: String = ""): DataFrame = {
     val t = if (table.nonEmpty) table else bucketedTableName(d)
@@ -463,9 +532,12 @@ object TextOps extends QueryModule {
     //      Pair finding is factored (jaccardPairs) so CorpusOps can
     //      resolve the pairs into duplicate clusters. Declared queries
     //      stay LAZY (building a Q must be analysis-only — the contract
-    //      guard reads every query's schema); the internal corpus cache
-    //      follows the session cache lifecycle, while eager consumers
-    //      use jaccardPairsWithRelease to drop it themselves.
+    //      guard reads every query's schema), so this entry cannot take
+    //      the bucketed arm (a construction-time table write); instead
+    //      the internal corpus cache is size-gated (corpusCacheable):
+    //      below the gate it follows the session cache lifecycle, above
+    //      it the same lazy plan runs uncached — bounded recompute, not
+    //      the r13-measured ENOSPC of an unconditional corpus cache.
     Q("ngram_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
 
     // ---- MinHash + LSH near-dup candidates: shingle → 16-way minhash →

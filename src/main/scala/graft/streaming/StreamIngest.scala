@@ -123,13 +123,21 @@ object StreamIngest {
         col("sess.end").as("sess_end"), col("n_events"))
 
   /** Stream-static enrich: per-micro-batch dimension lookup. The static
-    * side is planned fresh each batch (so a slowly-changing dim picks up
-    * between batches) and broadcast through the size gate — at
-    * 100 TB/day stream volume the dim join must never shuffle the
-    * stream, but a forced hint on an unbounded side is the per-executor
-    * OOM class r10-r12 removed everywhere else, so the hint is now
-    * defensive-by-default ([[graft.util.SizeGate.broadcastIfSmall]]:
+    * side's DATA is re-read each micro-batch (so a slowly-changing dim's
+    * rows pick up between batches), and it is broadcast through the size
+    * gate — at 100 TB/day stream volume the dim join must never shuffle
+    * the stream, but a forced hint on an unbounded side is the
+    * per-executor OOM class r10-r12 removed everywhere else, so the hint
+    * is now defensive-by-default ([[graft.util.SizeGate.broadcastIfSmall]]:
     * hint iff Catalyst's size estimate fits an executor; unknown = big).
+    * The gate DECISION, however, is made ONCE, here at join
+    * construction — it reads `dim`'s optimizedPlan stats when the
+    * streaming DataFrame is built, and a static hint cannot be
+    * re-evaluated per batch (ADVICE r13). A dim that grows past the
+    * bound mid-stream keeps its construction-time hint until the query
+    * restarts; restart-level re-gating is the supported recourse, and
+    * the caller contract below is what keeps the dim from growing in
+    * the first place.
     *
     * CALLER CONTRACT (broadcast audit, SCALE.md) still holds: `dim`
     * should be a genuine dimension (currencies, asset metadata, config),

@@ -57,6 +57,14 @@ class BroadcastAuditSpec extends AnyFunSuite {
       while (i < line.length) {
         val c = line.charAt(i)
         if (inStr && c == '\\') i += 1
+        // a double quote as a CHAR literal ('"' or '\"') must not
+        // toggle string state — it would leave the scanner inside a
+        // phantom string and hide a later broadcast( on the line
+        // (ADVICE r13)
+        else if (!inStr && c == '\'' && i + 2 < line.length &&
+          line.charAt(i + 2) == '\'' && line.charAt(i + 1) != '\\') i += 2
+        else if (!inStr && c == '\'' && i + 3 < line.length &&
+          line.charAt(i + 1) == '\\' && line.charAt(i + 3) == '\'') i += 3
         else if (c == '"') inStr = !inStr
         else if (!inStr && c == '/' && i + 1 < line.length &&
           line.charAt(i + 1) == '/') return line.substring(0, i)

@@ -93,6 +93,79 @@ class TextBucketedSpec extends SparkSpec {
       "gate-scale input must not trigger the bucketed-layout write")
   }
 
+  test("above the gate the registered (lazy) pairs plan carries NO " +
+    "corpus cache — one lazy plan, bounded recompute, not the " +
+    "unconditional cache the r13 sweep measured DNF-ENOSPC at 2.8 GiB") {
+    // clearCache first: a live cache of the same shingled-corpus plan
+    // would be substituted into ANY matching subtree by the
+    // CacheManager and fake a cache in the uncached arm's plan
+    spark.catalog.clearCache()
+    // cached = Some(false) forces the above-gate arm of the SAME code
+    // path the registered ngram_jaccard_pairs query routes through
+    // (jaccardPairs -> jaccardPairsWithRelease); KB fixtures can never
+    // cross the real 1 GiB bound
+    val (pairs, release) = TextOps.jaccardPairsWithRelease(
+      spark, sf, cached = Some(false))
+    try {
+      assert(!pairs.queryExecution.withCachedData.toString
+        .contains("InMemoryRelation"),
+        "above-gate registered plan must not pin a corpus cache")
+      val lazyRows = pairs.orderBy("doc_a", "doc_b").collect().toSeq
+      assert(!pairs.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+      val (cachedPairs, cachedRelease) = TextOps.jaccardPairsWithRelease(
+        spark, sf, cached = Some(true))
+      try {
+        val cachedRows =
+          cachedPairs.orderBy("doc_a", "doc_b").collect().toSeq
+        assert(lazyRows.nonEmpty && lazyRows == cachedRows,
+          "uncached arm must be row-identical to the cached plan")
+      } finally cachedRelease()
+    } finally release()
+  }
+
+  test("jaccardPairsAuto above the gate writes the corpus table ONCE " +
+    "per (session, dataset) and later routed queries reuse it (r13 " +
+    "measured: write 541 s vs standing-table reads 20 s at 2.8 GiB)") {
+    def tableFiles(t: String): Set[String] = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t))
+          .location.toString))
+      loc.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+    }
+    val t = TextOps.bucketedTableName(sf)
+    val t2 = TextOps.bucketedTableName(sf2)
+    dropTable(t); dropTable(t2)
+    val (p1, r1) = TextOps.jaccardPairsAuto(spark, sf, cached = Some(false))
+    try assert(p1.count() > 0) finally r1()
+    assert(spark.catalog.tableExists(t),
+      "above-gate Auto must land the bucketed corpus table")
+    val files1 = tableFiles(t)
+    // second routed query in the same session: same table, same FILES —
+    // a rewrite would generate fresh uuid part names
+    val (p2, r2) = TextOps.jaccardPairsAuto(spark, sf, cached = Some(false))
+    try assert(p2.count() > 0) finally r2()
+    assert(tableFiles(t) == files1,
+      "second routed query must reuse the standing table, not rewrite it")
+    // dataset isolation survives the memo: a second dir gets its own
+    // table and its own rows
+    val (pb, rb) = TextOps.jaccardPairsAuto(spark, sf2, cached = Some(false))
+    try {
+      assert(spark.catalog.tableExists(t2) && t != t2)
+      val b = pb.orderBy("doc_a", "doc_b").collect().toSeq
+      val a = p1.orderBy("doc_a", "doc_b").collect().toSeq
+      assert(a != b, "fixtures at different scales should differ")
+    } finally rb()
+    // a table dropped behind the memo's back is detected and rewritten
+    dropTable(t)
+    val (p3, r3) = TextOps.jaccardPairsAuto(spark, sf, cached = Some(false))
+    try assert(p3.count() > 0) finally r3()
+    assert(spark.catalog.tableExists(t),
+      "memo must re-validate against the catalog, not trust itself")
+    dropTable(t); dropTable(t2)
+  }
+
   test("size gate fails CLOSED: a corpus the gate cannot measure is " +
     "treated as big (r12 verdict: java.io.File walked non-local URIs " +
     "to 0 bytes and failed OPEN into the unbounded cache/broadcast " +

@@ -25,6 +25,77 @@ class BucketingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("stale-location recovery resolves the managed path THROUGH the " +
+    "catalog: a non-default current database must never delete a live " +
+    "default-db table's files (ADVICE r13)") {
+    val live = "bkt_live_default_probe"
+    val db = "bkt_probe_db"
+    spark.sql(s"DROP TABLE IF EXISTS default.$live")
+    spark.sql(s"DROP TABLE IF EXISTS $db.$live")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val df = graft.Tables.nation(spark, "/root/testdata/sf0.001")
+    try {
+      // a LIVE managed table in the default db, files at
+      // <warehouse>/<name> — the path the r13 code would have deleted
+      df.write.mode("overwrite").saveAsTable(s"default.$live")
+      val liveRows = spark.table(s"default.$live").count()
+      assert(liveRows > 0)
+      spark.catalog.setCurrentDatabase(db)
+      // unqualified name, non-default current db: tableExists resolves
+      // against bkt_probe_db (false), and the recovery delete must aim
+      // at <warehouse>/bkt_probe_db.db/<name> — NOT the default-db
+      // location that a string-concatenated path would hit
+      Bucketing.writeBucketed(df, live, Seq("n_nationkey"), 2,
+        Seq("n_nationkey"))
+      assert(spark.table(s"$db.$live").count() == liveRows)
+      // the default-db table's catalog entry AND data survived
+      assert(spark.table(s"default.$live").count() == liveRows,
+        "live default-db table lost rows — recovery deleted its files")
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql(s"DROP TABLE IF EXISTS default.$live")
+      spark.sql(s"DROP TABLE IF EXISTS $db.$live")
+      spark.sql(s"DROP DATABASE IF EXISTS $db")
+    }
+  }
+
+  test("db-qualified table names write, recover from a stale location, " +
+    "and carry the bucket-count marker") {
+    val db = "bkt_qual_db"
+    val t = s"$db.bkt_qual_probe"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val df = graft.Tables.nation(spark, "/root/testdata/sf0.001")
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Bucketing.writeBucketed(df, t, Seq("n_nationkey"), 4,
+        Seq("n_nationkey"))
+      assert(spark.table(t).count() == df.count())
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .location.toString
+      // the layout records its ACTUAL bucket count — the count a
+      // cross-JVM reader must restate in its DDL (ADVICE r13: trusting
+      // an env var plans exchange-free reads over wrong placement)
+      assert(Bucketing.readBucketMarker(spark, loc) == Some(4))
+      // dead-session rerun shape, qualified: catalog entry gone, files
+      // still at the db-scoped managed location
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val locPath = new org.apache.hadoop.fs.Path(loc)
+      val fs = locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(locPath)
+      val out = fs.create(new org.apache.hadoop.fs.Path(locPath, "stale.bin"),
+        true)
+      try out.write(Array[Byte](1, 2, 3)) finally out.close()
+      Bucketing.writeBucketed(df, t, Seq("n_nationkey"), 2,
+        Seq("n_nationkey"))
+      assert(spark.table(t).count() == df.count())
+      assert(Bucketing.readBucketMarker(spark, loc) == Some(2))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP DATABASE IF EXISTS $db")
+    }
+  }
+
   test("bucketed tables join with zero exchanges") {
     val sf = "/root/testdata/sf0.001"
     val li = graft.Tables.lineitem(spark, sf)
