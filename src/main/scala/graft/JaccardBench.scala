@@ -15,6 +15,8 @@ import graft.ops.{CorpusOps, TextOps}
   * One arm per invocation (solo protocol: cold JVM, 3 runs, min kept):
   *   gate           — print the corpus's gate decision (which arm Auto picks)
   *   pairs-cache | pairs-bkt      — ngram_jaccard_pairs over each layout
+  *   pairs-gated                  — the registered lazy query, gate deciding
+  *                                  (above the gate: the r14 uncached plan)
   *   pairs-auto                   — the routed gate entry itself: run1 pays
   *                                  the memoized write, runs 2-3 amortize
   *   pairs-bkt-reuse              — bucketed table written once, then the
@@ -79,6 +81,13 @@ object JaccardBench {
           s"(bound=${TextOps.CORPUS_BCAST_MAX_BYTES} bytes)")
       case "pairs-cache" => runPairs("pairs-cache", cacheArm)
       case "pairs-bkt" => runPairs("pairs-bkt", bktArm)
+      case "pairs-gated" =>
+        // the REGISTERED lazy query exactly as the registry runs it:
+        // jaccardPairsWithRelease with the gate deciding — above the
+        // gate this is the r14 uncached lazy plan, the arm that replaces
+        // the unconditional cache the r13 sweep measured DNF-ENOSPC
+        runPairs("pairs-gated", () =>
+          TextOps.jaccardPairsWithRelease(spark, d))
       case "pairs-auto" =>
         // the ROUTED path end-to-end (r14): run1 pays the memoized
         // corpus-table write inside jaccardPairsAuto, runs 2-3 hit the
@@ -99,8 +108,8 @@ object JaccardBench {
       case "clusters-bkt" => runClusters("clusters-bkt", bktArm)
       case other =>
         sys.error(s"unknown arm '$other' — expected gate | pairs-cache |" +
-          " pairs-bkt | pairs-auto | pairs-bkt-reuse | clusters-cache |" +
-          " clusters-bkt")
+          " pairs-bkt | pairs-gated | pairs-auto | pairs-bkt-reuse |" +
+          " clusters-cache | clusters-bkt")
     }
     spark.stop()
   }

@@ -17,11 +17,18 @@ object Profile {
     // "does AQE coalesce this exchange" adjudication needs, which
     // .explain() before execution cannot show.
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
+    // SPARK_GRAFT_ACTION=rdd times queryExecution.toRdd.count() — the
+    // honest full-materialization action Bench uses for the window
+    // family since r14 (count() prunes unreferenced Window nodes).
+    // Default stays count() so sweep columns remain comparable to the
+    // r11/r12 solo protocol; an rdd-action row is labeled as such.
+    val rddAction = sys.env.get("SPARK_GRAFT_ACTION").contains("rdd")
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, d)
-      val n = df.count()
-      println(f"PROFILE $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+      val n = if (rddAction) df.queryExecution.toRdd.count() else df.count()
+      val act = if (rddAction) "action=rdd " else ""
+      println(f"PROFILE $name run$i $act${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
       if (explain && i == 1) {
         // drive df's OWN plan to its final adaptive shape WITHOUT
         // materializing the result on the driver (fact-proportional
