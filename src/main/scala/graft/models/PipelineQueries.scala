@@ -139,10 +139,25 @@ object PipelineQueries extends QueryModule {
           }
           .option("checkpointLocation", s"$base/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try require(q.awaitTermination(300000),
-          "streaming mart build did not terminate")
-        finally q.stop()
+        // Scale-adaptive shuffle partitioning for the replay (r14,
+        // guide §2): every micro-batch re-runs the whole dbt DAG whose
+        // joins/aggregates each open spark.sql.shuffle.partitions
+        // tasks — over the KB-sized fixture arrivals that is ~40
+        // near-empty stages of pure task overhead per run. Derive the
+        // count from the arrival directory's bytes (cap = configured
+        // value — a real day's dump keeps the cluster parallelism;
+        // fail-closed to the cap), restore after the run; construction
+        // is single-threaded in every entry point.
+        val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions",
+          graft.util.SizeGate.partitionsForBytes(
+            s, fixtureDir, oldShuffle.toInt).toString)
+        try {
+          val q2 = q.start()
+          try require(q2.awaitTermination(300000),
+            "streaming mart build did not terminate")
+          finally q2.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
         s.read.parquet(s"$mart/fct_transaction_traces")
           .drop("trace_sequence", "load_date")
           .localCheckpoint(true)

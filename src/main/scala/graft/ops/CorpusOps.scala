@@ -367,29 +367,24 @@ object CorpusOps extends QueryModule {
     //      doc_id over containing docs) is the doc itself — the
     //      redundancy signal curriculum/selection pipelines rank by
     //      (a near-dup of an earlier doc scores ~0, fresh content ~1).
-    //      Shape at 100 TB: explode → one shingle-keyed aggregate, a
-    //      join BACK on the same shingle key, one doc-keyed aggregate.
-    //      The join regime is scale-adaptive by construction: at
-    //      fixture scale the first-occurrence map fits and the planner
-    //      broadcasts it (measured — BroadcastHashJoin at sf0.01); at
-    //      corpus scale the map is all-distinct-shingles-sized, far too
-    //      big to broadcast, and the plan degrades to a shingle-keyed
-    //      SMJ whose build side reuses the aggregate's own exchange
-    //      (ENSURE_REQUIREMENTS dedupes the identical partitioning).
-    //      Nothing is collected on the driver either way.
+    //      Shape at 100 TB (r14, guide §2.4): explode → the
+    //      first-occurrence minimum as a WINDOW over the shingle key →
+    //      one doc-keyed aggregate. min(doc_id) OVER (PARTITION BY
+    //      shingle) computes the same per-shingle minimum the old
+    //      aggregate did and attaches it on the SAME shuffle — the
+    //      join back on shingle (and the corpus-sized cache that fed
+    //      its probe side twice) is gone: one pass over the exploded
+    //      shingles instead of two, 3 exchanges → 2, no executor-cache
+    //      footprint at any scale. Nothing is collected on the driver.
     Q("doc_novelty",
       (s, d) => {
-        // sh feeds both the first-occurrence aggregate and the join
-        // probe side — cache it so the corpus is tokenized and exploded
-        // once (at 100 TB: materialize the shingle projection to a
-        // table). Lazy-query cache lifecycle as for tfidf_top_terms.
         val sh = documents(s, d).select(col("doc_id"),
           explode(array_distinct(
             TextOps.shingles(TextOps.tokens(col("text")), 3)))
-            .as("shingle")).cache()
-        val first = sh.groupBy("shingle")
-          .agg(min("doc_id").as("first_doc"))
-        sh.join(first, Seq("shingle"))
+            .as("shingle"))
+        sh.withColumn("first_doc",
+            min("doc_id").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("shingle")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("first_doc") === col("doc_id"), 1L)

@@ -15,12 +15,15 @@ import Parity._
   * neighborhood).
   *
   * Scale designs:
-  *  - Connected components: min-label propagation — O(diameter) rounds
-  *    of a join on the EDGE list only (the vertex payload never enters
-  *    the loop). At adversarial diameters switch the round body to
-  *    large-star/small-star (Kiveris et al., "Connected Components in
-  *    MapReduce and Beyond", SoCC'14) for O(log n) rounds — same join
-  *    primitive.
+  *  - Connected components: min-label propagation with per-round
+  *    pointer jumping (lab ← lab(lab), the Hash-to-Min shortcut —
+  *    Rastogi et al., ICDE'13) — O(log diameter) rounds of joins on
+  *    the EDGE list only (the vertex payload never enters the loop;
+  *    r14 added the jump: pure propagation paid a round per hop of
+  *    diameter). The independent large-star/small-star twin
+  *    (Kiveris et al., "Connected Components in MapReduce and
+  *    Beyond", SoCC'14) gives O(log n) rounds by edge rewriting —
+  *    a structurally different algorithm, kept as the cross-check.
   *  - PageRank / taint: a FIXED iteration count unrolls into one lazy
   *    plan — each iteration is a single shuffle on the destination key
   *    plus a broadcast of the one-row node count; no driver-side
@@ -59,6 +62,16 @@ object GraphOps extends QueryModule {
           (col("event_id") % 50).as("dst"))
         .agg(sum(dec(col("value"))).as("w")))
 
+  /** Max materialized edge count at which the min-label loop may
+    * broadcast the label table into the per-round propagation join.
+    * Labels ≤ distinct endpoints ≤ 2·edges rows of two longs, so 1M
+    * edges bounds the broadcast at a few tens of MB — far under the
+    * executor budget; above it every round keeps the co-partitioned
+    * shuffle join. Tuned for safety, not the crossover (a broadcast
+    * stays profitable well past this), so the gate can only forgo wins,
+    * never OOM. */
+  private[ops] val CC_LABEL_BCAST_MAX_EDGES = 1L << 20
+
   /** Connected components by min-label propagation over an undirected
     * edge list. Convergence-driven round count → EAGER (same contract
     * as dup_clusters): every cache is released before returning and the
@@ -82,7 +95,18 @@ object GraphOps extends QueryModule {
     var cur: DataFrame = null
     var curIds: Set[Int] = Set.empty
     try {
-      edges.count()
+      val edgeCount = edges.count()
+      // Label-side join strategy, decided ONCE from the materialized
+      // edge count (bounded metadata — the count the loop already pays
+      // for): the label table has at most one row per distinct
+      // endpoint, so edgeCount bounds it. Below the bound a broadcast
+      // hint removes the per-round label exchange + sort; above it (or
+      // on any doubt) the hint is withheld and the round keeps the
+      // scale-safe co-partitioned shuffle join — the same fail-closed
+      // size-gate discipline as graft.util.SizeGate (a forced broadcast
+      // on a node-proportional side is the OOM class the r10-r12
+      // broadcast audit removed everywhere else).
+      val bcastLabels = edgeCount <= CC_LABEL_BCAST_MAX_EDGES
       val init = Checkpoints.ckptTracked(
         edges.select(col("src").as("node")).distinct()
           .withColumn("lab", col("node"))
@@ -93,25 +117,61 @@ object GraphOps extends QueryModule {
       while (changed > 0 && rounds < 64) {
         // one aggregate carries BOTH the new label and the previous one
         // (each node contributes exactly one non-null prev row), so the
-        // convergence check needs no second join; the checkpoint
-        // materialization runs the round and the change count reads
-        // the checkpointed result
+        // convergence check needs no second join; and since r14 the
+        // change count rides the checkpoint materialization itself as
+        // an observed metric (CollectMetrics is row-transparent, the
+        // counter is collected DURING the round's one job) — the
+        // per-round "count the changed rows" follow-up job is gone
+        // (guide §1/§2: same answer, one fewer action per round, which
+        // on a cluster is one fewer scheduler round-trip per round).
         val labels = cur.select("node", "lab")
+        val labSide = labels.withColumnRenamed("node", "src")
         val prop = edges
-          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .join(if (bcastLabels) broadcast(labSide) else labSide,
+            Seq("src"))
           .select(col("dst").as("node"), col("lab"),
             lit(null).cast("long").as("prev"))
+        val m1 = labels.withColumn("prev", col("lab")).union(prop)
+          .groupBy("node")
+          .agg(min("lab").as("lab"), max("prev").as("prev"))
+        // r14: per-round POINTER JUMP (path compression) — after the
+        // neighbor-min step, shortcut every label through its own
+        // label's label (lab ← lab(lab); every label value is itself a
+        // node key of m1, so m1 doubles as the mapping table). Labels
+        // stay monotone non-increasing and the fixpoint is unchanged
+        // (stable ⟺ every label is its component minimum — the same
+        // argument as before, since next ≤ m1 ≤ cur elementwise), but
+        // the round count drops from O(diameter) to O(log diameter)
+        // (Rastogi et al., "Finding Connected Components in MapReduce
+        // in Logarithmic Rounds", ICDE'13 — the Hash-to-Min shortcut):
+        // the sf0.1 near-critical instance's ~21 propagation rounds
+        // become ~8, and at 100 TB a transfer CHAIN no longer costs a
+        // round per hop. One extra equi-join per jumping round (gated
+        // like the propagation side) buys the exponential round cut —
+        // but it is pure overhead on short-diameter graphs that
+        // converge in 2-3 rounds anyway (measured: the block-ring
+        // query paid ~2× for zero round savings), so the jump engages
+        // from round 2: rounds 0-1 are plain propagation (a jump
+        // cannot shortcut more than propagation reaches until labels
+        // point beyond one hop), the asymptotics keep the log bound
+        // with a constant delay, and converged-by-round-2 instances
+        // pay one jump join at most (the confirming round).
+        val jumping = rounds >= 2
+        val body =
+          if (!jumping) m1
+          else {
+            val jmap =
+              m1.select(col("node").as("jn"), col("lab").as("jlab"))
+            m1.join(if (bcastLabels) broadcast(jmap) else jmap,
+                col("lab") === col("jn"))
+              .select(col("node"), col("jlab").as("lab"), col("prev"))
+          }
+        val obs = org.apache.spark.sql.Observation()
         val (next, nextIds) = Checkpoints.ckptTracked(
-          labels.withColumn("prev", col("lab")).union(prop)
-            .groupBy("node")
-            .agg(min("lab").as("lab"), max("prev").as("prev")))
-        // the convergence read is the one action between this round's
-        // checkpoint and its adoption as `cur` — release the fresh
-        // blocks if it fails, or the finally would only see last round
-        changed =
-          try next.filter(col("lab") =!= col("prev")).count()
-          catch { case e: Throwable =>
-            Checkpoints.release(next, nextIds); throw e }
+          body.observe(obs, coalesce(sum(
+              when(col("lab") =!= col("prev"), 1L).otherwise(0L)),
+              lit(0L)).as("changed")))
+        changed = obs.get("changed").asInstanceOf[Long]
         Checkpoints.release(cur, curIds)
         cur = next; curIds = nextIds
         rounds += 1
@@ -152,30 +212,51 @@ object GraphOps extends QueryModule {
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-    // the paper's two phases, verbatim (Algorithms 1-2). large-star:
-    // over the FULL neighborhood, hang every strictly-larger neighbor
-    // on min(Γ⁺(u)). small-star: over only the ≤ neighbors, hang
-    // N ∪ {u} itself on min(N ∪ {u}) — emitting for u too is what
+    // One round-trip emission of each edge in both directions as a
+    // single Generate pass — `e.union(e.swap)` scans the (checkpointed)
+    // round input twice and doubles its subtree in the plan; explode
+    // reads it once (guide §2.3: don't recompute what one pass can
+    // emit). Same rows, order-insensitive consumers only.
+    def symmetrize(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+      .select(col("p.s").as("src"), col("p.d").as("dst"))
+    // the paper's two phases (Algorithms 1-2), each as ONE window-min
+    // pass instead of a groupBy + self-join: min(dst) OVER
+    // (PARTITION BY src) computes the same per-neighborhood minimum the
+    // aggregate did, on the same shuffle, and the join that re-attached
+    // it to the rows disappears — per phase the r14 rewrite drops one
+    // Exchange and one join from every round (guide §2.4; measured in
+    // OPTIMIZATION_r14.md). Values are identical: least(min Γ(u), u) is
+    // the same closed-neighborhood minimum either way.
+    //
+    // large-star: over the FULL neighborhood, hang every strictly-larger
+    // neighbor on min(Γ⁺(u)). small-star: over only the ≤ neighbors,
+    // hang N ∪ {u} itself on min(N ∪ {u}) — emitting for u too is what
     // keeps each node linked to its parent (dropping it collapses the
     // edge set to nothing and every node becomes a singleton).
-    def largeStar(e: DataFrame): DataFrame = {
-      val both = e.union(e.select(col("dst"), col("src")))
-        .toDF("src", "dst")
-      val m = both.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src").as("u"), least(col("mn"), col("u")).as("m"))
-      both.join(m, col("src") === col("u"))
-        .where(col("dst") > col("u"))
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    def largeStar(e: DataFrame): DataFrame =
+      symmetrize(e)
+        .withColumn("m", least(min("dst").over(bySrc), col("src")))
+        .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-    }
     def smallStar(e: DataFrame): DataFrame = {
-      val smaller = e.union(e.select(col("dst"), col("src")))
-        .toDF("src", "dst")
-        .where(col("dst") <= col("src"))
-      val m = smaller.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src").as("u"), least(col("mn"), col("u")).as("m"))
-      smaller.join(m, col("src") === col("u"))
+      // the self row (src, src) plays two roles on the one shuffle: it
+      // folds u itself into the window min (the paper's N ∪ {u}), and
+      // its own emission is the (u, m) edge the join formulation added
+      // with a separate union. Emitting it per ≤-neighbor (not once)
+      // is harmless: the duplicates carry identical values and the
+      // round's closing canon() is a distinct.
+      val smaller = symmetrize(e).where(col("dst") <= col("src"))
+      smaller
+        .select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("src").as("s"), col("src").as("d")))).as("p"))
+        .select(col("p.s").as("src"), col("p.d").as("dst"))
+        .withColumn("m", least(min("dst").over(bySrc), col("src")))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .union(m.select(col("u").as("src"), col("m").as("dst")))
     }
     // node universe from the RAW endpoints: a node whose only edge is a
     // self loop still owns a (singleton) component even though canon()
@@ -194,31 +275,54 @@ object GraphOps extends QueryModule {
     // use the same pattern.)
     import graft.util.Checkpoints.{ckptTracked, release}
     def releaseIds(ids: Set[Int]): Unit = release(edges, ids)
-    var (cur, curIds) = ckptTracked(canon(edges))
+    // Each round's checkpoint also observes a cheap edge-set signature
+    // (count, Σsrc, Σdst) — collected during the round's own job.
+    // Signatures of unequal sets CAN coincide, so they are never
+    // trusted for convergence; but signatures of EQUAL sets always
+    // match, so a mismatch proves the round changed something and the
+    // exact set-equality action is skipped (r14: the equality check is
+    // a full union+aggregate job per round; on converging instances it
+    // now runs ~once, at the fixed point, instead of every round).
+    def observed(e: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (e.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(sum(col("src")), lit(0L)).as("ssrc"),
+        coalesce(sum(col("dst")), lit(0L)).as("sdst")), obs)
+    }
+    def sig(obs: org.apache.spark.sql.Observation): (Any, Any, Any) = {
+      val m = obs.get
+      (m("n"), m("ssrc"), m("sdst"))
+    }
+    val (obsInit, obs0) = observed(canon(edges))
+    var (cur, curIds) = ckptTracked(obsInit)
+    var curSig = sig(obs0)
     try {
       var rounds = 0
       var done = false
       while (!done && rounds < 64) {
-        val (next, nextIds) =
-          ckptTracked(canon(smallStar(largeStar(cur))))
+        val (obsNext, obsN) = observed(canon(smallStar(largeStar(cur))))
+        val (next, nextIds) = ckptTracked(obsNext)
+        val nextSig = sig(obsN)
         // exact convergence in ONE action, no hash collisions: both
         // sets are distinct, so every pair in (cur ∪ next) appears
-        // exactly twice iff the sets are equal; release the fresh
-        // round's blocks if the read fails (the finally only tracks
-        // the adopted round)
-        done =
+        // exactly twice iff the sets are equal; run it only when the
+        // observed signatures agree (a mismatch already proves
+        // inequality); release the fresh round's blocks if the read
+        // fails (the finally only tracks the adopted round)
+        done = nextSig == curSig && {
           try cur.unionByName(next).groupBy("src", "dst").count()
             .filter(col("count") =!= 2).isEmpty
           catch { case e: Throwable => releaseIds(nextIds); throw e }
+        }
         releaseIds(curIds)
-        cur = next; curIds = nextIds
+        cur = next; curIds = nextIds; curSig = nextSig
         rounds += 1
       }
       require(done, s"log-star components not converged after $rounds rounds")
       // at the fixed point every edge is (child, root): label = min
       // neighbor (the root), roots and isolated nodes label themselves
-      val sym = cur.union(cur.select(col("dst"), col("src")))
-        .toDF("node", "nbr")
+      val sym = symmetrize(cur).toDF("node", "nbr")
       val labels = nodes.join(sym, Seq("node"), "left")
         .groupBy("node")
         .agg(least(min("nbr"), first("node")).as("component_id"))
@@ -288,11 +392,12 @@ object GraphOps extends QueryModule {
       broadcastDeg: Boolean = false): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
     val ewd = e.join(if (broadcastDeg) broadcast(deg) else deg, "src")
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    // the dangling set is STATIC (nodes with no out-edges) — derived
-    // once here, not re-derived from scratch inside every iteration
-    val dangNodes = nodes.join(deg, col("node") === col("src"), "left_anti")
+    // one pass over e, not union-of-two-scans: explode emits both
+    // endpoints per edge row, halving the subtree the unrolled
+    // iterations copy and the scans the executed plan runs (guide §2.3)
+    val nodes = e
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var pr = nodes.crossJoin(broadcast(n))
       .select(col("node"), round(lit(1.0) / col("n_nodes"), 12).as("pr"))
@@ -303,15 +408,28 @@ object GraphOps extends QueryModule {
     var barrier: Option[(DataFrame, Set[Int])] = None
     try {
     for (i <- 1 to iters) {
-      val contrib = pr.join(ewd, col("node") === col("src"))
+      // r14: contributions and dangling mass ride ONE pass over pr.
+      // A LEFT join against the out-degree-carrying edge list tags
+      // every (node, pr) row: matched rows fan out to per-edge
+      // contributions (pr/od, the old inner join unchanged), unmatched
+      // rows are EXACTLY the dangling nodes (no out-edges) and carry
+      // their pr under the null-dst group of the same aggregate. The
+      // old plan's per-iteration second aggregate over pr (the
+      // dangling semi-join against a nodes⟕deg anti-join) is gone —
+      // one aggregation pass instead of two, and the anti-join subtree
+      // no longer repeats per unrolled iteration (guide §2.3/§2.4).
+      // Value path is unchanged: same DECIMAL(28,12) casts, same sum
+      // then cast-to-double, so results are bit-identical.
+      val tagged = pr.join(ewd, col("node") === col("src"), "left")
         .select(col("dst"),
-          (col("pr") / col("od")).cast(DecimalType(28, 12)).as("c"))
-      val insum = contrib.groupBy("dst")
-        .agg(sum(col("c")).cast("double").as("insum"))
-      val dangling = pr.join(dangNodes.select("node"), Seq("node"),
-          "left_semi")
-        .agg(coalesce(sum(col("pr").cast(DecimalType(28, 12)))
-          .cast("double"), lit(0.0)).as("dm"))
+          when(col("od").isNull, col("pr").cast(DecimalType(28, 12)))
+            .otherwise((col("pr") / col("od")).cast(DecimalType(28, 12)))
+            .as("c"))
+      val sums = tagged.groupBy("dst").agg(sum(col("c")).as("s"))
+      val insum = sums.where(col("dst").isNotNull)
+        .select(col("dst"), col("s").cast("double").as("insum"))
+      val dangling = sums.where(col("dst").isNull)
+        .agg(coalesce(sum(col("s")).cast("double"), lit(0.0)).as("dm"))
       pr = nodes.crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
         .join(insum, col("node") === col("dst"), "left")
         .select(col("node"),

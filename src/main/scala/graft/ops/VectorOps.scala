@@ -261,10 +261,24 @@ object VectorOps extends QueryModule {
           .filter(quadGuard(col("vec_id"), col("n_vecs")))
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
           .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+        // The all-pairs stage parallelizes by the STREAMED side's
+        // partition count, and both sides of the (quadGuard-capped)
+        // corpus arrive as ONE scan partition — so the ~cap²/2 cosine
+        // evaluations all ran in a single task (measured single-
+        // threaded at sf0.1, OPTIMIZATION_r14.md). Round-robin BOTH
+        // sides across the scheduler's parallelism (scale-adaptive,
+        // not a constant; REPARTITION by explicit count is exempt from
+        // AQE coalescing): AQE then broadcasts whichever side it
+        // prefers and the streamed side still carries the full
+        // parallelism — repartitioning only one side lets AQE broadcast
+        // exactly that side and serialize the loop again (observed).
+        // Output rows are unchanged — pair enumeration order is not
+        // part of the contract (the gate sorts before hashing).
+        val par = s.sparkContext.defaultParallelism
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-          col("norm").as("na"))
+          col("norm").as("na")).repartition(par)
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-          col("norm").as("nb"))
+          col("norm").as("nb")).repartition(par)
         a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
             round(cosineWithNorms(col("va"), col("vb"), col("na"),

@@ -143,15 +143,33 @@ object StreamQueries extends QueryModule {
         val qn = s"graft_gate_sessions_${ctr.incrementAndGet()}"
         val outDir = graft.util.TempDirs.deleteOnExit(s"${stage}_out_$qn")
         val ckptDir = graft.util.TempDirs.deleteOnExit(s"${stage}_ckpt_$qn")
-        val q = sess.writeStream.format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", ckptDir)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try require(q.awaitTermination(300000),
-          "streaming sessionization did not terminate")
-        finally q.stop()
+        // Scale-adaptive STATE partitioning (r14, guide §2): the state
+        // store count is frozen from spark.sql.shuffle.partitions at
+        // first batch, and each store pays per-batch open/commit file
+        // I/O whether or not it holds keys — at gate scale that fixed
+        // cost dominated the whole query (65 near-empty state tasks,
+        // 76 s summed executor time). Derive the count from the staged
+        // input's bytes (cap = the session's configured value, so a
+        // real load keeps the cluster-sized parallelism; fail-closed to
+        // the cap). The conf is set only for the duration of this
+        // query's run and restored in the finally — query construction
+        // is single-threaded in every entry point (Bench/Verify/specs),
+        // the same session-conf discipline the bucketed writes use.
+        val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions",
+          graft.util.SizeGate.partitionsForBytes(
+            s, stage, oldShuffle.toInt).toString)
+        try {
+          val q = sess.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckptDir)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try require(q.awaitTermination(300000),
+            "streaming sessionization did not terminate")
+          finally q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
         // explicit schema: a zero-session run leaves only the sink's
         // metadata log, which a schemaless read would refuse
         s.read.schema(sess.schema).parquet(outDir)

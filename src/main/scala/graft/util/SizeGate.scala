@@ -43,4 +43,30 @@ object SizeGate {
       catch { case _: Throwable => BigInt(Long.MaxValue) }
     if (est <= maxBytes) broadcast(df) else df
   }
+
+  /** Shuffle/state-store partition count PROPORTIONAL to an input's
+    * on-disk bytes: ceil(bytes / targetBytes) clamped to [1, cap] —
+    * guide §2's "derive partitioning from input size rather than a
+    * constant tuned for either local mode or the cluster". Callers pass
+    * the session's configured shuffle partitions as `cap`, so this only
+    * ever scales DOWN for small inputs (a stateful streaming stage over
+    * a few MB otherwise opens `cap` state stores, each with its own
+    * checkpoint/commit file I/O — measured 65 near-empty state tasks
+    * carrying 76 s of executor time at sf0.1, OPTIMIZATION_r14.md);
+    * at scale bytes/targetBytes exceeds any cap and the configured
+    * parallelism wins unchanged. Sizing is Hadoop-FS metadata (same
+    * resolution the read path uses — works on any store); FAIL-CLOSED:
+    * an unreadable or unknown size returns `cap`, never a tiny count,
+    * so a mis-measured input can never under-partition a real load. */
+  def partitionsForBytes(s: org.apache.spark.sql.SparkSession,
+      path: String, cap: Int, targetBytes: Long = 32L << 20): Int = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    if (bytes == Long.MaxValue) cap
+    else math.max(1L, math.min(cap.toLong,
+      (bytes + targetBytes - 1) / targetBytes)).toInt
+  }
 }

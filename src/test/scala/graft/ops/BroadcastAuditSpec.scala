@@ -26,7 +26,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "ops/ClassicQueries.scala" -> 4, // nation/region dims
     "ops/ClassicQueries2.scala" -> 9, // nation/region dims + 1-row scalars
     "ops/CorpusOps.scala" -> 4, // eval shingles, lang thresholds, scalars
-    "ops/GraphOps.scala" -> 6, // 1-row scalars + opt-in broadcastDeg flag
+    "ops/GraphOps.scala" -> 8, // 1-row scalars + opt-in broadcastDeg flag
+    // + 2 edge-count-gated label/jump sides in the min-label loop (r14)
     "ops/ScaleOps.scala" -> 3, // ≤100 hot keys, IVF probes, lang thresholds
     "ops/VectorOps.scala" -> 3, // ANN query sets + 1-row count
     "ops/TextOps.scala" -> 2, // corpusBcastable-gated gram dims (rare, c1)

@@ -108,6 +108,42 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("ccLogStar window-star round (r14 rewrite): path graph of " +
+    "adversarial diameter and duplicate-edge input both label " +
+    "min-member") {
+    // The r14 rewrite replaced each star phase's groupBy + self-join
+    // with one window-min pass whose self rows are emitted per
+    // ≤-neighbor (duplicates folded by the round's closing distinct).
+    // Pin the two shapes that stress exactly that: a 64-node path
+    // (max rounds for the flattening, every node has ≤2 neighbors so
+    // the window partitions are minimal) and an edge list with heavy
+    // duplicate edges (duplicate emissions must not survive canon).
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("node", "component_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val pathSym = path.union(path.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+    assert(labelsOf(GraphOps.ccLogStar(pathSym)) ==
+      (0L to 63L).map(_ -> 0L).toMap,
+      "path graph must collapse to one min-labeled component")
+    val dup = Seq((5L, 9L), (9L, 5L), (5L, 9L), (9L, 9L), (12L, 12L),
+      (5L, 9L), (2L, 9L)).toDF("src", "dst")
+    val dupSym = dup.union(dup.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+    assert(labelsOf(GraphOps.ccLogStar(dupSym)) ==
+      Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 12L -> 12L),
+      "duplicate/self edges must not distort labels or survive canon")
+    // the min-label loop's r14 pointer jump (lab ← lab(lab)) must
+    // reach the same labels on the same adversarial-diameter shape —
+    // and in O(log d) rounds, which the loop's 64-round guard would
+    // catch regressing catastrophically
+    assert(labelsOf(GraphOps.connectedComponents(pathSym)) ==
+      (0L to 63L).map(_ -> 0L).toMap,
+      "min-label + pointer jump must collapse the path to min labels")
+  }
+
   test("graph_cc_logstar (eager, registered): schema pinned, rows " +
     "identical to graph_cc_components, intermediates released") {
     val rddsBefore = spark.sparkContext.getPersistentRDDs.size

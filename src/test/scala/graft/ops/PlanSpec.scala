@@ -369,18 +369,24 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
-  test("doc novelty: scan pruned to (doc_id, text); both aggregates " +
-    "combine map-side; the doc-keyed agg is the only non-broadcast " +
-    "exchange consumer after the join") {
+  test("doc novelty (r14 window shape): scan pruned to (doc_id, text); " +
+    "first-occurrence min is a WINDOW on the shingle key — no join, no " +
+    "second pass over the exploded shingles; doc agg combines map-side") {
     val p = plan("doc_novelty")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       p.take(1500))
-    assert(p.contains("partial_min") && p.contains("partial_count"),
-      "shingle/doc aggregates must combine map-side\n" + p.take(1500))
-    // fixture-scale regime: the first-occurrence map broadcasts (the
-    // scale regime degrades to a shingle-keyed SMJ — see the operator
-    // comment; this pin documents the measured small-scale plan)
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the r14 rewrite replaced the groupBy+join-back (2 consumers of
+    // the exploded shingles + a shingle-keyed join) with min() OVER
+    // (PARTITION BY shingle) on the same exchange — the plan must
+    // carry a Window and NO join of any strategy
+    assert(p.contains("Window"), p.take(1500))
+    for (j <- Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(j),
+        s"doc_novelty must not join after the window rewrite ($j)\n" +
+          p.take(1500))
+    assert(p.contains("partial_count"),
+      "doc aggregate must combine map-side\n" + p.take(1500))
   }
 
   test("funnel: stage-type filters push to every events scan; all " +
